@@ -1,0 +1,2 @@
+from blvm_tpu.models.base import BaseModel, count_parameters, load_model
+from blvm_tpu.models.lstm import LSTMAudio

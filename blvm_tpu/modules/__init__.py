@@ -1,0 +1,15 @@
+from blvm_tpu.modules.common import Dense, MLP, torch_bias_init, torch_kernel_init
+from blvm_tpu.modules.distributions import (
+    BernoulliDense,
+    CategoricalDense,
+    ConditionalDistribution,
+    DiagonalGaussianDense,
+    DiagonalGaussianMixtureDense,
+    DiscretizedLogisticDense,
+    DiscretizedLogisticMixtureDense,
+    GaussianDense,
+    IsotropicGaussianDense,
+    get_likelihood_head,
+)
+from blvm_tpu.modules.activations import GatedTanhUnit, gated_tanh_unit
+from blvm_tpu.modules.dropout import WordDropout

@@ -1,0 +1,83 @@
+"""Device mesh construction and batch sharding for data parallelism over ICI.
+
+The reference has no working distributed training (DDP flags exist but
+``torch.distributed`` is never called — SURVEY §2.8). This module is the
+TPU-native replacement: a 1-D ``jax.sharding.Mesh`` over the slice's devices
+with axis ``"data"``; batches are sharded along their leading (batch) axis,
+parameters are replicated, and XLA inserts the gradient ``psum`` over ICI when
+the jitted train step runs under these shardings. Multi-host execution shards
+the per-host file lists by ``jax.process_index()`` (see data pipeline) and
+relies on ``jax.distributed.initialize`` — no custom communication backend.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH: Optional[Mesh] = None
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """Create (and remember) a 1-D data-parallel mesh over the given devices."""
+    global _MESH
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    _MESH = Mesh(np.asarray(devices), (axis_name,))
+    return _MESH
+
+
+def get_mesh() -> Mesh:
+    """The process-wide mesh (create a full-device one on first use)."""
+    global _MESH
+    if _MESH is None:
+        make_mesh()
+    return _MESH
+
+
+def batch_sharding(mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over the data axis."""
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
+    """Fully-replicated sharding (parameters, scalars)."""
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
+    """Device-put a host batch pytree with batch-axis sharding.
+
+    Scalars and rank-0 leaves are replicated. The batch size must be divisible
+    by the mesh size — the batchers' ``batch_size_bucket`` guarantees this when
+    set to a multiple of the mesh size.
+    """
+    mesh = mesh or get_mesh()
+    data_sharding = batch_sharding(mesh, axis_name)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data_sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_batch_to_devices(x: np.ndarray, sl: np.ndarray, n_devices: int):
+    """Right-pad the batch axis with zero-length rows to a multiple of n_devices."""
+    B = x.shape[0]
+    pad = (-B) % n_devices
+    if pad == 0:
+        return x, sl
+    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    sl = np.concatenate([sl, np.zeros(pad, sl.dtype)])
+    return x, sl
