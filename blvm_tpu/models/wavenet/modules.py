@@ -1,0 +1,168 @@
+"""WaveNet building blocks (flax, channels-last).
+
+Rebuild of reference ``blvm/models/wavenet/wavenet_modules.py`` for TPU:
+  * Layout is (B, T, C) — channels on the last (lane) dimension, time folds
+    with batch into MXU rows; the reference uses torch's (B, C, T).
+  * Dilated convs are ``lax.conv_general_dilated`` with VALID padding; the
+    model pads the full receptive field once on the left (same geometry as the
+    reference's global ``F.pad`` + valid convs, which is exactly causal).
+  * The residual block keeps the reference's structure: dilated conv →
+    gated tanh → one 1×1 conv producing residual+skip jointly → slice skip to
+    ``skip_size`` → (residual + input) * sqrt(0.5).
+"""
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from blvm_tpu.modules.activations import gated_tanh_unit
+from blvm_tpu.ops.conv_arithmetic import compute_conv_attributes
+
+# torch Conv1d default init: U(-sqrt(1/(in*k)), sqrt(1/(in*k)))
+conv_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def conv_bias_init_for(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """VALID 1-D conv over (B, T, C) with torch-calibrated init."""
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_kernel_init, (self.kernel_size, in_features // self.feature_group_count, self.features)
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding="VALID",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            fan_in = self.kernel_size * in_features // self.feature_group_count
+            bias = self.param("bias", conv_bias_init_for(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class CausalConv1d(nn.Module):
+    """Causal conv: ``y[t]`` depends on ``x[:t]`` (not ``x[t]``), imposed by
+    dropping the last input frame before a VALID conv (reference
+    ``wavenet_modules.py:14-50``; the caller left-pads the receptive field)."""
+
+    features: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, pad_causal: bool = True):
+        if pad_causal:
+            x = x[:, :-1]  # remove last input frame
+        return Conv1d(features=self.features, kernel_size=self.kernel_size)(x)
+
+
+class Conv1dResidualGLU(nn.Module):
+    """Dilated conv → gated tanh → 1×1 (res+skip) → scaled residual add."""
+
+    res_channels: int
+    skip_channels: Optional[int] = None
+    gate_channels: Optional[int] = None
+    kernel_size: int = 2
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip_size: int):
+        skip_channels = self.skip_channels or self.res_channels
+        gate_channels = self.gate_channels or 2 * self.res_channels
+        inv_std = math.sqrt(0.5)
+
+        pre_act = Conv1d(features=gate_channels, kernel_size=self.kernel_size, dilation=self.dilation)(x)
+        act = gated_tanh_unit(pre_act, axis=-1)
+        rs = Conv1d(features=self.res_channels + skip_channels, kernel_size=1, use_bias=self.use_bias)(act)
+        r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
+
+        s = s[:, -skip_size:]  # keep only the (unpadded) output region
+        x = x[:, -r.shape[1] :]  # drop what the dilated kernel consumed
+        o = (r + x) * inv_std
+        return o, s
+
+
+class ResidualStack(nn.Module):
+    """``n_stacks`` repeats of ``n_layers`` residual blocks with dilations
+    ``1, base, base*2, base*4, ...`` and skip connections collected from every
+    block (reference ``wavenet_modules.py:120-211``)."""
+
+    n_layers: int
+    n_stacks: int
+    res_channels: int
+    skip_channels: Optional[int] = None
+    gate_channels: Optional[int] = None
+    kernel_size: int = 2
+    base_dilation: int = 2
+    in_channels: Optional[int] = None
+
+    @staticmethod
+    def build_dilations(n_layers: int, n_stacks: int, base_dilation: int) -> Sequence[int]:
+        if base_dilation > 1:
+            return [1, *[base_dilation * 2**i for i in range(0, n_layers - 1)]] * n_stacks
+        return [1] * n_layers * n_stacks
+
+    @staticmethod
+    def compute_receptive_fields(n_layers: int, n_stacks: int, kernel_size: int, base_dilation: int):
+        n = n_layers * n_stacks
+        dilations = [1, *[base_dilation * 2**i for i in range(0, n_layers - 1)]] * n_stacks
+        attrs = compute_conv_attributes([kernel_size] * n, [0] * n, [1] * n, dilations, return_all=True)
+        return [a.receptive_field for a in attrs]
+
+    @property
+    def receptive_field(self) -> int:
+        return self.compute_receptive_fields(self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation)[-1]
+
+    @nn.compact
+    def __call__(self, x, skip_size: int):
+        o = x if self.in_channels is None else Conv1d(features=self.res_channels, kernel_size=1)(x)
+        skips = []
+        for dilation in self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation):
+            o, s = Conv1dResidualGLU(
+                res_channels=self.res_channels,
+                skip_channels=self.skip_channels,
+                gate_channels=self.gate_channels,
+                kernel_size=self.kernel_size,
+                dilation=dilation,
+            )(o, skip_size)
+            skips.append(s)
+        return skips
+
+
+class PointwiseTransform(nn.Module):
+    """Output head: ReLU → Dense → ReLU over (B, T, C) (reference
+    ``wavenet_modules.py:214-239``)."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from blvm_tpu.modules.common import Dense
+
+        x = nn.relu(x)
+        x = Dense(self.out_features)(x)
+        return nn.relu(x)

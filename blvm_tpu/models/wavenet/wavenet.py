@@ -1,0 +1,245 @@
+"""WaveNet: autoregressive dilated-causal-conv waveform model.
+
+Rebuild of reference ``blvm/models/wavenet/wavenet.py:29-293``. The forward
+geometry is identical: optional frame stacking or embedding, left-pad by the
+receptive field, causal conv (drop last frame), residual stack with skips
+sliced to the output region, summed skips scaled, pointwise head, likelihood.
+
+Reference quirks preserved/fixed:
+  * ``variance_scale = sqrt(1/n_stacks * n_layers)`` — operator precedence
+    makes this ``sqrt(n_layers/n_stacks)`` (``wavenet.py:95``); the trained
+    numbers depend on it, so the same value is used here. Unlike the reference
+    (which multiplies in forward but divides in generate — ``wavenet.py:198``
+    vs ``:274``), generation uses the same multiply as forward.
+  * ``z`` = every 5th skip tensor (``wavenet.py:215``).
+
+Generation is a jitted ``lax.scan`` over output frames with a FIFO receptive-
+field window as carry — the reference's Python loop (``wavenet.py:271-290``)
+made one full graph dispatch per sample.
+"""
+
+import math
+from types import SimpleNamespace
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, LLMetric, LossMetric
+from blvm_tpu.models.base import BaseModel
+from blvm_tpu.models.wavenet.modules import CausalConv1d, PointwiseTransform, ResidualStack
+from blvm_tpu.modules.distributions import get_likelihood_head
+from blvm_tpu.ops.padding import get_modulo_length, pad_to_length
+from blvm_tpu.ops.sequence import sequence_mask, split_sequence, stack_tensor, unstack_tensor
+
+
+class InputSizeError(Exception):
+    def __init__(self, input_size, receptive_field):
+        message = "Input size has to be larger than receptive_field\n"
+        message += f"Input size: {input_size}, Receptive fields size: {receptive_field}"
+        super().__init__(message)
+
+
+class WaveNet(BaseModel):
+    likelihood: str = "DMoL"
+    in_channels: int = 1
+    embedding_dim: Optional[int] = None
+    num_bins: int = 256
+    num_mix: int = 10
+    n_layers: int = 10
+    n_stacks: int = 5
+    res_channels: int = 512
+    skip_channels: Optional[int] = None
+    gate_channels: Optional[int] = None
+    kernel_size: int = 2
+    base_dilation: int = 2
+    n_stack_frames: int = 1
+
+    def setup(self):
+        if self.embedding_dim is not None and self.n_stack_frames > 1:
+            raise ValueError("Cannot stack frames if using an embedding (which is what we do when in_channels>1)")
+        if self.embedding_dim is not None and self.in_channels > 1:
+            raise ValueError("Cannot use more than 1 input_channel if also wanting to use an embedding.")
+
+        # reference precedence quirk: sqrt(1/n_stacks * n_layers) == sqrt(n_layers/n_stacks)
+        self.variance_scale = math.sqrt(1 / self.n_stacks * self.n_layers)
+
+        if self.embedding_dim is None:
+            self.embedding = None
+            self.causal = CausalConv1d(features=self.res_channels, kernel_size=self.kernel_size)
+        else:
+            self.embedding = nn.Embed(num_embeddings=self.num_bins, features=self.embedding_dim)
+            self.causal = CausalConv1d(features=self.res_channels, kernel_size=self.kernel_size)
+
+        self.res_stack = ResidualStack(
+            n_layers=self.n_layers,
+            n_stacks=self.n_stacks,
+            res_channels=self.res_channels,
+            skip_channels=self.skip_channels,
+            gate_channels=self.gate_channels,
+            kernel_size=self.kernel_size,
+            base_dilation=self.base_dilation,
+        )
+        self.receptive_field = self.res_stack.receptive_field + self.kernel_size - 1
+
+        self.out_transform = PointwiseTransform(self.res_channels * self.n_stack_frames)
+
+        y_dim = self.in_channels * self.n_stack_frames if self.n_stack_frames > 1 else self.in_channels
+        self.likelihood_head = get_likelihood_head(
+            self.likelihood, y_dim=1, num_mix=self.num_mix, num_bins=self.num_bins
+        )
+
+    def compute_loss(self, y, x_sl, parameters):
+        """Masked negative log-likelihood normalized by Σ x_sl
+        (reference ``wavenet.py:128-146``)."""
+        seq_mask = sequence_mask(x_sl, max_len=y.shape[1], dtype=jnp.float32)  # (B, T)
+        log_prob_twise = self.likelihood_head.log_prob(y, parameters) * seq_mask  # (B, T)
+        log_prob = log_prob_twise.reshape(y.shape[0], -1).sum(axis=1)  # (B,)
+        loss = -log_prob.sum() / x_sl.sum()
+        return loss, log_prob, log_prob_twise
+
+    def _network(self, x, skip_size: int, pad_causal: bool):
+        """Causal conv → residual stack → scaled skip sum → pointwise head."""
+        output = self.causal(x, pad_causal=pad_causal)
+        skip_connections = self.res_stack(output, skip_size)
+        summed = sum(skip_connections) * self.variance_scale
+        logits = self.out_transform(summed)
+        return logits, skip_connections
+
+    def __call__(
+        self,
+        x,  # (B, T) or (B, T, C), values in [-1, 1] (or ints if embedding)
+        x_sl,
+        y=None,
+        pad_causal: bool = True,
+        pad_receptive_field: bool = True,
+    ):
+        if y is None:
+            y = jax.lax.stop_gradient(x)
+            if not pad_receptive_field:
+                y = y[:, self.receptive_field * self.n_stack_frames :]
+
+        x_sl_strided = jnp.ceil(x_sl / self.n_stack_frames).astype(jnp.int32)
+        if self.n_stack_frames > 1:
+            x, p = stack_tensor(x, self.n_stack_frames, axis=1)
+        else:
+            p = 0
+
+        if self.embedding is None:
+            x = x[..., None] if x.ndim == 2 else x  # (B, T, 1)
+            y = y[..., None] if y.ndim == 2 else y
+        else:
+            x = self.embedding(x.astype(jnp.int32))  # (B, T, C)
+            y = y[..., None] if y.ndim == 2 else y
+
+        T = x.shape[1]
+        if pad_receptive_field:
+            skip_size = T
+            x = jnp.pad(x, ((0, 0), (self.receptive_field, 0), (0, 0)))
+        else:
+            skip_size = T - self.receptive_field
+            x_sl = x_sl - self.receptive_field
+
+        if x.shape[1] - int(pad_causal) < self.receptive_field:
+            raise InputSizeError(x.shape[1], self.receptive_field)
+
+        logits, skip_connections = self._network(x, skip_size, pad_causal)
+
+        if self.n_stack_frames > 1:
+            # unstack along time: (B, T', res*S) -> (B, T'*S, res); row-major
+            # reshape matches the reference's view-based unstack (wavenet.py:202)
+            B, Ts, _ = logits.shape
+            logits = logits.reshape(B, Ts, self.n_stack_frames, self.res_channels).reshape(
+                B, Ts * self.n_stack_frames, self.res_channels
+            )
+            if p:
+                logits = logits[:, :-p]
+
+        parameters = self.likelihood_head(logits)
+        predictions = self.likelihood_head.sample(self.make_rng("sample"), parameters)
+        predictions_mode = self.likelihood_head.mode(parameters)
+
+        loss, log_prob, log_prob_twise = self.compute_loss(y, x_sl, parameters)
+
+        mets = dict(loss=loss, log_prob=log_prob, x_sl=x_sl)
+        z = [s for s in skip_connections][::5]  # every 5th skip (B, T, C)
+        outputs = SimpleNamespace(
+            loss=loss,
+            log_prob=log_prob,
+            log_prob_twise=log_prob_twise,
+            parameters=parameters,
+            z=z,
+            z_sl=x_sl_strided,
+            y=y,
+            predictions=predictions,
+            predictions_mode=predictions_mode,
+        )
+        return loss, mets, outputs
+
+    @staticmethod
+    def build_metrics(mets: dict):
+        log_prob = mets["log_prob"]
+        return [
+            LossMetric(mets["loss"], weight_by=int(log_prob.shape[0])),
+            LLMetric(log_prob),
+            BitsPerDimMetric(log_prob, reduce_by=mets["x_sl"]),
+        ]
+
+    def split_sequence(self, x, x_sl, length: int):
+        """Chunk a long sequence for memory-constrained forward; overlap is the
+        full receptive field (pad_causal removes the last input of each chunk,
+        reference ``wavenet.py:230-242``)."""
+        overlap = self.receptive_field * self.n_stack_frames
+        length = get_modulo_length(length, stride=self.n_stack_frames)
+        mode = "extend" if overlap >= length else "consume"
+        splits_x, splits_x_sl = split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
+        if mode == "extend":
+            splits_x = [pad_to_length(split_x, overlap + length, "left", axis=1) for split_x in splits_x]
+        return splits_x, splits_x_sl
+
+    def forward_split(self, x, x_sl, i_split: int, y=None):
+        return self(x, x_sl, y=y, pad_causal=True, pad_receptive_field=(i_split == 0))
+
+    def generate(self, n_samples: int, n_frames: int = 16000, x: Optional[jnp.ndarray] = None):
+        """Ancestral sampling with a FIFO receptive-field window, as one
+        ``lax.scan`` over frames (jittable; no per-frame dispatch)."""
+        rf = self.receptive_field
+        C = self.in_channels * self.n_stack_frames
+
+        if x is None:
+            if self.embedding is None:
+                x = jnp.zeros((n_samples, rf, C), jnp.float32)
+            else:
+                x = self.embedding(jnp.zeros((n_samples, rf), jnp.int32))
+
+        key = self.make_rng("sample")
+
+        def step(carry, step_key):
+            window = carry  # (B, rf, C)
+            logits, _ = self._network(window, skip_size=1, pad_causal=False)
+            if self.n_stack_frames > 1:
+                B, Ts, _ = logits.shape
+                logits = logits.reshape(B, Ts, self.n_stack_frames, self.res_channels).reshape(
+                    B, Ts * self.n_stack_frames, self.res_channels
+                )
+            parameters = self.likelihood_head(logits)
+            pred = self.likelihood_head.rsample(step_key, parameters)  # (B, 1[, C])
+            pred_in = self.embedding(pred.astype(jnp.int32)) if self.embedding is not None else pred
+            if pred_in.ndim == 2:
+                pred_in = pred_in[:, None, :]
+            window = jnp.concatenate([window[:, 1:], pred_in[:, -1:]], axis=1)
+            return window, pred
+
+        n_steps = n_frames // self.n_stack_frames if self.n_stack_frames > 1 else n_frames
+        _, preds = jax.lax.scan(step, x, jax.random.split(key, n_steps))
+        # (steps, B, 1[, C]) -> (B, steps[, C])
+        preds = jnp.moveaxis(preds, 0, 1)
+        preds = preds.reshape(n_samples, -1)
+        return preds
+
+    def example_inputs(self):
+        T = self.receptive_field + 8
+        x = jnp.zeros((1, T * self.n_stack_frames), jnp.float32)
+        x_sl = jnp.full((1,), T * self.n_stack_frames, jnp.int32)
+        return (x, x_sl), {"sample": None}

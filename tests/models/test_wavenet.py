@@ -1,0 +1,163 @@
+"""WaveNet tests: output shapes, receptive field, exact-arithmetic causal conv,
+and gradient-based causality (the reference's two genuinely good test ideas —
+``tests/models/wavenet/test_wavenet.py:71-102`` — plus generation and loss
+invariances)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blvm_tpu.models.wavenet import CausalConv1d, ResidualStack, WaveNet
+from blvm_tpu.models.wavenet.modules import Conv1d
+
+
+def make_model(**kwargs):
+    defaults = dict(n_layers=4, n_stacks=2, res_channels=16, num_mix=2)
+    defaults.update(kwargs)
+    return WaveNet(**defaults)
+
+
+def init_and_apply(model, x, x_sl, **kwargs):
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+    out = model.apply(variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)}, **kwargs)
+    return variables, out
+
+
+class TestReceptiveField:
+    def test_formula(self):
+        # n_layers=4, n_stacks=2, k=2: dilations [1,2,4,8]*2, RF = 1 + 2*15 = 31; +1 causal
+        stack = ResidualStack(n_layers=4, n_stacks=2, res_channels=8)
+        assert stack.receptive_field == 31
+
+    def test_model_receptive_field(self):
+        model = make_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 64)),
+            jnp.array([64]),
+        )
+        rf = model.bind(variables).receptive_field
+        assert rf == 32
+
+
+class TestCausalConvExact:
+    def test_integer_outputs_k2(self):
+        """All-ones weights, zero bias, arange input → exact sums (reference
+        ``test_causal_conv.py:41-60`` technique)."""
+        conv = Conv1d(features=1, kernel_size=2)
+        x = jnp.arange(1, 7, dtype=jnp.float32).reshape(1, 6, 1)
+        variables = conv.init(jax.random.PRNGKey(0), x)
+        variables = {"params": {"kernel": jnp.ones((2, 1, 1)), "bias": jnp.zeros((1,))}}
+        out = conv.apply(variables, x)
+        np.testing.assert_array_equal(np.asarray(out)[0, :, 0], [3, 5, 7, 9, 11])
+
+    def test_causal_drops_last(self):
+        causal = CausalConv1d(features=1, kernel_size=1)
+        x = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1)
+        variables = {"params": {"Conv1d_0": {"kernel": jnp.ones((1, 1, 1)), "bias": jnp.zeros((1,))}}}
+        out = causal.apply(variables, x, pad_causal=True)
+        np.testing.assert_array_equal(np.asarray(out)[0, :, 0], [0, 1, 2])
+
+
+class TestForwardShapes:
+    def test_output_shapes_padded(self):
+        model = make_model()
+        T = 64
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, T // 2])
+        _, (loss, mets, out) = init_and_apply(model, x, x_sl)
+        assert np.isfinite(loss)
+        assert mets["log_prob"].shape == (2,)
+        assert out.predictions.shape == (2, T, 1)
+
+    def test_no_pad_receptive_field(self):
+        model = make_model()
+        T = 64
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, T])
+        _, (loss, mets, out) = init_and_apply(model, x, x_sl, pad_receptive_field=False)
+        assert out.y.shape[1] == T - 32  # RF removed from target
+        assert np.isfinite(loss)
+
+    def test_input_too_short_raises(self):
+        model = make_model()
+        x = jnp.zeros((1, 16))
+        with pytest.raises(Exception):
+            init_and_apply(model, x, jnp.array([16]), pad_receptive_field=False)
+
+
+class TestCausalityByGradient:
+    @pytest.mark.parametrize("pos", [5, 20])
+    def test_grad_zero_at_and_after_position(self, pos):
+        """∂(log p at position pos)/∂x[t] must be nonzero only for t < pos."""
+        model = make_model(n_layers=3, n_stacks=2, res_channels=8)
+        T = 40
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (1, T)), jnp.float32)
+        x_sl = jnp.array([T])
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x0, x_sl)
+
+        def pos_logprob(x):
+            _, _, out = model.apply(
+                variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)},
+            )
+            return out.log_prob_twise[0, pos]
+
+        g = np.asarray(jax.grad(pos_logprob)(x0))[0]
+        assert np.any(g[:pos] != 0.0), "gradient should flow to strictly-earlier inputs"
+        # the prediction at pos must not depend on x[pos:] except through the
+        # target itself (stop_gradient'ed) — so grads at/after pos are zero
+        np.testing.assert_array_equal(g[pos:], 0.0)
+
+
+class TestLossInvariances:
+    def test_bucket_time_padding_invariant(self):
+        model = make_model()
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 64)), jnp.float32)
+        x_sl = jnp.array([64, 50])
+        variables, (loss, mets, _) = init_and_apply(model, x, x_sl)
+
+        x_pad = jnp.pad(x, ((0, 0), (0, 32)))
+        loss_pad, mets_pad, _ = model.apply(variables, x_pad, x_sl, rngs={"sample": jax.random.PRNGKey(2)})
+        np.testing.assert_allclose(np.asarray(mets["log_prob"]), np.asarray(mets_pad["log_prob"]), atol=1e-4)
+        np.testing.assert_allclose(loss, loss_pad, rtol=1e-5)
+
+    def test_zero_length_row_invariant(self):
+        model = make_model()
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 64)), jnp.float32)
+        x_sl = jnp.array([64, 50])
+        variables, (loss, mets, _) = init_and_apply(model, x, x_sl)
+
+        x_aug = jnp.concatenate([x, jnp.zeros((1, 64))], axis=0)
+        x_sl_aug = jnp.array([64, 50, 0])
+        _, mets_aug, _ = model.apply(variables, x_aug, x_sl_aug, rngs={"sample": jax.random.PRNGKey(2)})
+        np.testing.assert_allclose(
+            np.asarray(mets["log_prob"]).sum(), np.asarray(mets_aug["log_prob"]).sum(), rtol=1e-5
+        )
+
+
+class TestFrameStacking:
+    def test_stacked_shapes(self):
+        model = make_model(n_stack_frames=4)
+        T = 128
+        x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, T - 20])
+        _, (loss, mets, out) = init_and_apply(model, x, x_sl)
+        assert np.isfinite(loss)
+        assert out.predictions.shape[1] == T
+
+
+class TestGenerate:
+    def test_generate_shapes_and_range(self):
+        model = make_model()
+        x = jnp.zeros((1, 64))
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.array([64]))
+        samples = model.apply(
+            variables, n_samples=2, n_frames=20, rngs={"sample": jax.random.PRNGKey(3)}, method=WaveNet.generate
+        )
+        assert samples.shape == (2, 20)
+        assert float(jnp.max(jnp.abs(samples))) <= 1.0
