@@ -114,17 +114,23 @@ class LSTM(nn.Module):
 
 class GRUCell(nn.Module):
     """Single-step GRU cell with torch gate math (for per-step use inside
-    model-level scans; for full sequences prefer :class:`GRU`)."""
+    model-level scans; for full sequences prefer :class:`GRU`).
+
+    ``orthogonal_hh`` applies orthogonal init to the recurrent weight, as the
+    VRNN/SRNN cells do (reference ``vrnn.py:99-100``, ``srnn.py:130``).
+    """
 
     hidden_size: int
+    orthogonal_hh: bool = False
 
     @nn.compact
     def __call__(self, x, h):
         H = self.hidden_size
         init = _rnn_uniform_init(H)
+        hh_init = jax.nn.initializers.orthogonal() if self.orthogonal_hh else init
         w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H))
         b_ih = self.param("b_ih", init, (3 * H,))
-        w_hh = self.param("w_hh", init, (H, 3 * H))
+        w_hh = self.param("w_hh", hh_init, (H, 3 * H))
         b_hh = self.param("b_hh", init, (3 * H,))
 
         gi = x @ w_ih + b_ih

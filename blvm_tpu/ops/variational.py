@@ -45,7 +45,9 @@ def discount_free_nats(
     If ``shared_dims`` is given, the ``free_nats`` budget is split equally over
     the product of those dimensions' sizes (reference ``variational.py:86-122``).
     """
-    if free_nats is None or free_nats == 0:
+    # short-circuit only for concrete zeros — free_nats may be a traced scalar
+    # (annealed per step inside jit)
+    if free_nats is None or (isinstance(free_nats, (int, float)) and free_nats == 0):
         return kld
 
     if isinstance(shared_dims, int):
