@@ -131,21 +131,9 @@ class VRNN(nn.Module):
 
     def compute_elbo(self, y, parameters, kld_twise, x_sl, stride: int, beta=1.0, free_nats=0.0):
         """Loss + per-example ELBO decomposition (reference ``vrnn.py:255-279``)."""
-        T = y.shape[1]
-        seq_mask = sequence_mask(x_sl, max_len=T, dtype=jnp.float32)
+        from blvm_tpu.models.elbo import compute_sequence_elbo
 
-        log_prob_twise = self.likelihood.log_prob(y, parameters, reduce_dim=-1) * seq_mask  # (B, T)
-        log_prob = log_prob_twise.reshape(y.shape[0], -1).sum(axis=1)  # (B,)
-
-        seq_mask_kl = seq_mask[:, ::stride, None][:, : kld_twise.shape[1]]  # (B, T', 1)
-        kld = (kld_twise * seq_mask_kl).sum(axis=(1, 2))  # (B,)
-        elbo = log_prob - kld
-
-        kld_twise_fn = discount_free_nats(kld_twise, free_nats, shared_dims=-1)
-        kld_fn = (kld_twise_fn * seq_mask_kl).sum(axis=(1, 2))
-        loss = -(log_prob - beta * kld_fn).sum() / x_sl.sum()
-
-        return loss, elbo, log_prob, kld, seq_mask
+        return compute_sequence_elbo(self.likelihood, y, parameters, kld_twise, x_sl, stride, beta, free_nats)
 
     def __call__(self, x, x_sl, beta=1.0, free_nats=0.0, h0=None):
         if x.ndim == 2:
