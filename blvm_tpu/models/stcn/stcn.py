@@ -1,0 +1,334 @@
+"""STCN — Stochastic Temporal Convolutional Network (Aksan & Hilliges 2019).
+
+Rebuild of reference ``blvm/models/stcn/stcn.py:32-443``. Structure (identical):
+  * WaveNet ResidualStack backbone; a hierarchy of ``len(latent_size)`` latents
+    fed from every n-th skip connection.
+  * Prior sees the skips shifted one frame back (``d[..., :-1]``) and the
+    posterior the unshifted ones (``d[..., 1:]``) — ``stcn.py:299-326``.
+  * Top-down (analytic KL) or bottom-up (MC KL) inference; optional
+    precision-weighted posterior fusion.
+  * Dense (concat all z) or bottom-only decoding through a second non-dilated
+    ResidualStack and an upsample head.
+
+Layout is channels-last (B, T, C) as in the WaveNet rebuild.
+"""
+
+import math
+from types import SimpleNamespace
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, KLMetric, LatestMeanMetric, LLMetric, LossMetric
+from blvm_tpu.models.base import BaseModel
+from blvm_tpu.models.wavenet.modules import CausalConv1d, ResidualStack
+from blvm_tpu.modules.common import MLP, Dense
+from blvm_tpu.modules.distributions import (
+    DiagonalGaussianDense,
+    DiagonalGaussianMixtureDense,
+    DiscretizedLogisticMixtureDense,
+    softplus_beta,
+)
+from blvm_tpu.ops.sequence import sequence_mask, stack_tensor
+from blvm_tpu.ops.variational import (
+    discount_free_nats,
+    kl_divergence_gaussian,
+    kl_divergence_gaussian_mc,
+    precision_weighted_gaussian,
+    rsample_gaussian,
+)
+
+
+def _leaky_relu(v):
+    return nn.leaky_relu(v, 0.01)
+
+
+class DiagonalGaussianDenseSTCN(nn.Module):
+    """Two-branch (µ, σ) 3-layer MLP head with calibrated softplus sd
+    (reference ``stcn.py:32-74``)."""
+
+    out_channels: int
+    hidden_channels: int
+    init_sd_mean: float = 1.0
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mu = MLP([self.hidden_channels, self.hidden_channels, self.out_channels], activation=_leaky_relu, activate_final=False)(x)
+        sd = MLP([self.hidden_channels, self.hidden_channels, self.out_channels], activation=_leaky_relu, activate_final=False)(x)
+        beta = math.log(2.0) / (self.init_sd_mean - self.epsilon)
+        sd = softplus_beta(sd, beta) + self.epsilon
+        return mu, sd
+
+
+class STCN(BaseModel):
+    likelihood: str = "DMoL"
+    in_channels: int = 1
+    n_layers: int = 5
+    n_stacks: Optional[int] = None
+    latent_size: Sequence[int] = (256, 128, 64, 32, 16)
+    res_channels: int = 256
+    kernel_size: int = 2
+    base_dilation: int = 2
+    n_stack_frames: int = 1
+    precision_posterior: bool = True
+    dense: bool = True
+    top_down: bool = True
+
+    def setup(self):
+        n_latents = len(self.latent_size)
+        n_stacks = n_latents if self.n_stacks is None else self.n_stacks
+        self._n_latents = n_latents
+        self._n_stacks = n_stacks
+
+        self.causal = CausalConv1d(features=self.res_channels, kernel_size=self.kernel_size)
+        self.res_stack = ResidualStack(
+            n_layers=self.n_layers,
+            n_stacks=n_stacks,
+            res_channels=self.res_channels,
+            kernel_size=self.kernel_size,
+            base_dilation=self.base_dilation,
+        )
+        rfs = ResidualStack.compute_receptive_fields(self.n_layers, n_stacks, self.kernel_size, self.base_dilation)
+        self.receptive_fields = [rf + self.kernel_size - 1 for rf in rfs]
+        self.receptive_field = self.receptive_fields[-1]
+
+        # priors/posteriors per latent, conditioned on the level above (top-down)
+        # or below (bottom-up)
+        priors, posteriors = [], []
+        order = list(reversed(range(n_latents))) if self.top_down else list(range(n_latents))
+        heads_p = [None] * n_latents
+        heads_q = [None] * n_latents
+        for i, l in enumerate(order):
+            heads_p[l] = DiagonalGaussianDenseSTCN(
+                out_channels=self.latent_size[l], hidden_channels=self.res_channels, init_sd_mean=0.5, name=f"prior_{l}"
+            )
+            heads_q[l] = DiagonalGaussianDenseSTCN(
+                out_channels=self.latent_size[l], hidden_channels=self.res_channels, init_sd_mean=0.1, name=f"posterior_{l}"
+            )
+        self.priors = heads_p
+        self.posteriors = heads_q
+
+        out_in = sum(self.latent_size) if self.dense else self.latent_size[0]
+        self.out_transform = ResidualStack(
+            n_layers=self.n_layers,
+            n_stacks=1,
+            res_channels=self.res_channels,
+            in_channels=out_in,
+            kernel_size=self.kernel_size,
+            base_dilation=1,
+        )
+        self._out_rf = ResidualStack.compute_receptive_fields(self.n_layers, 1, self.kernel_size, 1)[-1]
+        self.inv_std = 1.0 / math.sqrt(n_stacks)
+
+        self.likelihood_module = self._make_likelihood()
+        self.out_upsample = _UpsampleHead(out_features=self._likelihood_out_features() * self.n_stack_frames)
+
+    def _make_likelihood(self):
+        num_mix = 10
+        if self.likelihood == "DMoL":
+            return DiscretizedLogisticMixtureDense(y_dim=1, num_mix=num_mix, num_bins=2**16)
+        if self.likelihood == "GMM":
+            return DiagonalGaussianMixtureDense(y_dim=1, num_mix=num_mix, initial_sd=1, epsilon=1e-4)
+        if self.likelihood == "Gaussian":
+            return DiagonalGaussianDense(y_dim=1, epsilon=1e-4)
+        raise ValueError(f"Unknown likelihood type {self.likelihood}")
+
+    def _likelihood_out_features(self) -> int:
+        if self.likelihood == "DMoL":
+            return 30
+        if self.likelihood == "GMM":
+            return 30
+        if self.likelihood == "Gaussian":
+            return 2
+        raise ValueError(self.likelihood)
+
+    def infer(self, skips: List[jnp.ndarray]):
+        """Hierarchical inference from every n-th skip with one-frame shift
+        (reference ``stcn.py:299-326``). Skips are (B, T+1, C)."""
+        n = self._n_latents
+        d = skips[n - 1 :: n]  # one per latent level, bottom→top
+        d_p = [d_[:, :-1] for d_ in d]  # prior input: frames ..t-1
+        d_q = [d_[:, 1:] for d_ in d]  # posterior input: frames ..t
+
+        mu_p, sd_p = [None] * n, [None] * n
+        mu_q, sd_q = [None] * n, [None] * n
+        z = [None] * n
+
+        order = list(reversed(range(n))) if self.top_down else list(range(n))
+        for i, l in enumerate(order):
+            if i == 0:
+                in_p, in_q = d_p[l], d_q[l]
+            else:
+                l_cond = l + 1 if self.top_down else l - 1
+                in_p = jnp.concatenate([d_p[l], z[l_cond]], axis=-1)
+                in_q = jnp.concatenate([d_q[l], z[l_cond]], axis=-1)
+
+            mu_p[l], sd_p[l] = self.priors[l](in_p)
+            mu_q[l], sd_q[l] = self.posteriors[l](in_q)
+            if self.precision_posterior:
+                mu_q[l], sd_q[l] = precision_weighted_gaussian(mu_p[l], sd_p[l], mu_q[l], sd_q[l])
+            z[l] = rsample_gaussian(self.make_rng("sample"), mu_q[l], sd_q[l])
+
+        return mu_p, sd_p, mu_q, sd_q, z
+
+    def compute_loss(self, y, x_sl, parameters, mu_p, sd_p, mu_q, sd_q, z, free_nats, beta):
+        log_prob_twise = self.likelihood_module.log_prob(y, parameters, reduce_dim=-1)  # (B, T)
+        seq_mask = sequence_mask(x_sl, max_len=y.shape[1], dtype=jnp.float32)
+        log_prob = (log_prob_twise * seq_mask).sum(axis=1)  # (B,)
+
+        z_mask = seq_mask[:, :: self.n_stack_frames, None]
+        z_mask = z_mask[:, : mu_p[0].shape[1]]
+        n = self._n_latents
+        if self.top_down:
+            klds = [kl_divergence_gaussian(mu_q[l], sd_q[l], mu_p[l], sd_p[l]) * z_mask for l in range(n)]
+        else:
+            klds = [kl_divergence_gaussian_mc(mu_q[l], sd_q[l], mu_p[l], sd_p[l], z[l]) * z_mask for l in range(n)]
+        klds_fn = [discount_free_nats(klds[l], free_nats, shared_dims=-1) * z_mask for l in range(n)]
+        kld = jnp.concatenate(klds, axis=-1).sum(axis=(1, 2))  # (B,)
+        kld_fn = jnp.concatenate(klds_fn, axis=-1).sum(axis=(1, 2))
+        klds = [kl.sum(axis=(1, 2)) for kl in klds]
+
+        elbo = log_prob - kld
+        loss = -(log_prob - beta * kld_fn).sum() / x_sl.sum()
+        return loss, elbo, log_prob, kld, klds
+
+    def __call__(
+        self,
+        x,
+        x_sl,
+        y=None,
+        pad_receptive_field: bool = True,
+        free_nats=0.0,
+        beta=1.0,
+    ):
+        if y is None:
+            y = jax.lax.stop_gradient(x)
+            if not pad_receptive_field:
+                y = y[:, self.receptive_field * self.n_stack_frames :]
+
+        if self.n_stack_frames > 1:
+            x, p = stack_tensor(x, self.n_stack_frames, axis=1)
+        else:
+            p = 0
+
+        x = x[..., None] if x.ndim == 2 else x  # (B, T, 1)
+        y = y[..., None] if y.ndim == 2 else y
+
+        if pad_receptive_field:
+            T = x.shape[1]
+            x = jnp.pad(x, ((0, 0), (self.receptive_field, 0), (0, 0)))
+        else:
+            T = x.shape[1] - self.receptive_field
+            x_sl = x_sl - self.n_stack_frames * self.receptive_field
+            if x.shape[1] <= self.receptive_field:
+                raise ValueError(f"Input must be at least as long as the receptive field if {pad_receptive_field=}")
+
+        output = self.causal(x, pad_causal=False)
+        skip_connections = self.res_stack(output, skip_size=T + 1)  # each (B, T+1, C)
+
+        mu_p, sd_p, mu_q, sd_q, z = self.infer(skip_connections)
+
+        logits_in = jnp.concatenate(z, axis=-1) if self.dense else z[0]
+        logits_in = jnp.pad(logits_in, ((0, 0), (self._out_rf - 1, 0), (0, 0)))
+        skip_logits = self.out_transform(logits_in, skip_size=T)
+
+        logits = sum(skip_logits) * self.inv_std  # (B, T, C)
+        logits = self.out_upsample(logits)
+
+        if self.n_stack_frames > 1:
+            B, Ts, _ = logits.shape
+            D = self._likelihood_out_features()
+            logits = logits.reshape(B, Ts, self.n_stack_frames, D).reshape(B, Ts * self.n_stack_frames, D)
+            if p:
+                logits = logits[:, :-p]
+
+        params = self.likelihood_module(logits)
+
+        loss, elbo, log_prob, kld, klds = self.compute_loss(
+            y, x_sl, params, mu_p, sd_p, mu_q, sd_q, z, free_nats, beta
+        )
+
+        reconstructions = self.likelihood_module.sample(self.make_rng("sample"), params)
+        reconstructions_mode = self.likelihood_module.mode(params)
+
+        z_sl = jnp.ceil(x_sl / self.n_stack_frames).astype(jnp.int32)
+        mets = dict(
+            loss=loss,
+            elbo=elbo,
+            log_prob=log_prob,
+            kld=kld,
+            klds=klds,
+            x_sl=x_sl,
+            beta=jnp.asarray(beta),
+            free_nats=jnp.asarray(free_nats),
+        )
+        outputs = SimpleNamespace(
+            loss=loss,
+            elbo=elbo,
+            klds=klds,
+            log_prob=log_prob,
+            z=z,
+            z_sl=[z_sl] * self._n_stacks,
+            enc_mus=mu_q,
+            prior_mus=mu_p,
+            params=params,
+            y=y,
+            reconstructions=reconstructions,
+            reconstructions_mode=reconstructions_mode,
+        )
+        return loss, mets, outputs
+
+    def build_metrics(self, mets: dict):
+        """Per-layer KL decomposition in nats/bpz/bpx (reference ``stcn.py:222-254``)."""
+        loss, elbo, log_prob, kld, klds, x_sl = (
+            mets["loss"],
+            mets["elbo"],
+            mets["log_prob"],
+            mets["kld"],
+            mets["klds"],
+            mets["x_sl"],
+        )
+        z_sl = np.asarray(x_sl) // self.n_stack_frames
+        n = len(self.latent_size)
+        ln2 = math.log(2)
+
+        klds_nats = [KLMetric(klds[l], name=f"kl_{l} (nats)", log_to_console=False) for l in range(n)]
+        klds_bpz = [KLMetric(np.asarray(klds[l]) / ln2, name=f"kl_{l} (bpz)", reduce_by=z_sl) for l in range(n)]
+        klds_bpx = [KLMetric(np.asarray(klds[l]) / ln2, name=f"kl_{l} (bpx)", reduce_by=x_sl) for l in range(n)]
+
+        return [
+            LossMetric(loss, weight_by=int(np.asarray(elbo).size)),
+            BitsPerDimMetric(elbo, name="elbo (bpx)", reduce_by=x_sl),
+            LLMetric(elbo, name="elbo (nats)"),
+            LatestMeanMetric(float(mets["beta"]), name="beta"),
+            LatestMeanMetric(float(mets["free_nats"]), name="free_nats"),
+            LLMetric(log_prob, name="rec (nats)", log_to_console=False),
+            BitsPerDimMetric(log_prob, name="rec (bpx)", reduce_by=x_sl),
+            KLMetric(kld, name="kl (nats)", log_to_console=False),
+            KLMetric(np.asarray(kld) / ln2, name="kl (bpz)", reduce_by=z_sl),
+            *klds_nats,
+            *klds_bpz,
+            *klds_bpx,
+        ]
+
+    def forward_split(self, x, x_sl, i_split: int, y=None):
+        return self(x, x_sl, y=y, pad_receptive_field=(i_split == 0))
+
+    def example_inputs(self):
+        T = (self.receptive_field + 8) * self.n_stack_frames
+        return (jnp.zeros((1, T), jnp.float32), jnp.full((1,), T, jnp.int32)), {"sample": None}
+
+
+class _UpsampleHead(nn.Module):
+    """Linear + ReLU upsample to likelihood-parameter channels (reference
+    ``stcn.py:215-218``)."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(Dense(self.out_features)(x))

@@ -1,0 +1,131 @@
+"""STCN tests: hierarchy shapes, top-down vs bottom-up, ELBO decomposition,
+metric set, invariances and training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blvm_tpu.models.stcn import STCN
+
+
+def make_model(**kwargs):
+    defaults = dict(n_layers=2, latent_size=(16, 8), res_channels=16)
+    defaults.update(kwargs)
+    return STCN(**defaults)
+
+
+def init_and_apply(model, x, x_sl, **kwargs):
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+    out = model.apply(variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)}, **kwargs)
+    return variables, out
+
+
+class TestForward:
+    def test_contract_and_hierarchy(self):
+        model = make_model()
+        T = 48
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, 32])
+        _, (loss, mets, out) = init_and_apply(model, x, x_sl)
+        assert np.isfinite(loss)
+        assert len(out.z) == 2  # one z per latent level
+        assert out.z[0].shape == (2, T, 16)
+        assert out.z[1].shape == (2, T, 8)
+        np.testing.assert_allclose(
+            np.asarray(mets["elbo"]), np.asarray(mets["log_prob"]) - np.asarray(mets["kld"]), rtol=1e-4
+        )
+        # per-layer KLs sum to total
+        np.testing.assert_allclose(
+            np.asarray(mets["kld"]), sum(np.asarray(k) for k in mets["klds"]), rtol=1e-5
+        )
+
+    def test_metric_names(self):
+        model = make_model()
+        T = 48
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, T])
+        _, (loss, mets, out) = init_and_apply(model, x, x_sl)
+        metrics = model.build_metrics(jax.device_get(mets))
+        names = [m.name for m in metrics]
+        assert "elbo (bpx)" in names and "kl_0 (bpz)" in names and "kl_1 (bpx)" in names
+
+    def test_bottom_up_mc_kl(self):
+        model = make_model(top_down=False, precision_posterior=False)
+        T = 48
+        x = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.array([T, T])
+        _, (loss, mets, _) = init_and_apply(model, x, x_sl)
+        assert np.isfinite(loss)
+
+    def test_non_dense_decode(self):
+        model = make_model(dense=False)
+        T = 48
+        x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, T)), jnp.float32)
+        _, (loss, _, _) = init_and_apply(model, x, jnp.array([T, T]))
+        assert np.isfinite(loss)
+
+    def test_zero_length_row_invariant(self):
+        model = make_model()
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 48)), jnp.float32)
+        x_sl = jnp.array([48, 40])
+        variables, (loss, mets, _) = init_and_apply(model, x, x_sl)
+        x_aug = jnp.concatenate([x, jnp.zeros((1, 48))], axis=0)
+        _, mets_aug, _ = model.apply(variables, x_aug, jnp.array([48, 40, 0]), rngs={"sample": jax.random.PRNGKey(2)})
+        np.testing.assert_allclose(
+            np.asarray(mets["log_prob"]).sum(), np.asarray(mets_aug["log_prob"]).sum(), rtol=1e-4
+        )
+
+    def test_frame_stacking(self):
+        model = make_model(n_stack_frames=4)
+        T = 96
+        x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (2, T)), jnp.float32)
+        _, (loss, mets, out) = init_and_apply(model, x, jnp.array([T, 64]))
+        assert np.isfinite(loss)
+        assert out.reconstructions.shape[1] == T
+
+    def test_no_pad_receptive_field(self):
+        model = make_model()
+        T = 64
+        x = jnp.asarray(np.random.default_rng(6).uniform(-1, 1, (2, T)), jnp.float32)
+        _, (loss, _, out) = init_and_apply(model, x, jnp.array([T, T]), pad_receptive_field=False)
+        rf = 2 * (1 + 2) + 1  # dilations (1,2)*2 → RF 7 +1 causal = 8
+        assert out.y.shape[1] == T - 8
+        assert np.isfinite(loss)
+
+
+class TestTraining:
+    def test_loss_decreases(self):
+        model = make_model(n_layers=2, latent_size=(8,), res_channels=8)
+        rng = np.random.default_rng(7)
+        base = np.sin(np.linspace(0, 12, 64)) * 0.4
+        x = jnp.asarray(np.stack([base + rng.normal(scale=0.01, size=64) for _ in range(4)]), jnp.float32)
+        x_sl = jnp.full((4,), 64, jnp.int32)
+
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        import optax
+
+        tx = optax.adam(3e-3)
+        params = variables["params"]
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                loss, _, _ = model.apply({"params": p}, x, x_sl, rngs={"sample": key})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(2)
+        losses = []
+        for _ in range(25):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
