@@ -5,3 +5,4 @@ from blvm_tpu.models.vrnn import VRNN, VRNNAudio
 from blvm_tpu.models.srnn import SRNN, SRNNAudio
 from blvm_tpu.models.stcn import STCN
 from blvm_tpu.models.clockwork_vae import CWVAE, CWVAEAudio
+from blvm_tpu.models.lstm_asr import SimpleLSTMASR
