@@ -139,7 +139,9 @@ class LengthTrainSampler:
                 batches.append(batch)
                 batch = [int(idx)]
                 batch_len = l
-        if batch and not (self.drop_last and batch_len < self.batch_len):
+        if batch and not (self.drop_last and batch_len < self.batch_len and batches):
+            # keep the final partial batch; never drop it if it is the only one
+            # (the reference crashes on tiny datasets here — length_samplers.py:161)
             batches.append(batch)
 
         if self.shuffle:

@@ -1,0 +1,71 @@
+"""Shared experiment argument parser with argument groups.
+
+Rebuild of reference ``blvm/utils/argparsers.py:14-88``: the same groups
+(setup/data/training/optimizer/scheduler/wandb) so reference run-spec commands
+(``benchmarks.txt``) parse unchanged. DDP flags are replaced by mesh flags
+(``--n_devices``); AMP by ``--bf16`` (no loss scaler on TPU). Optimizer/
+scheduler selection reflects into optax (``blvm_tpu/training/optim.py``).
+"""
+
+import argparse
+import json
+from functools import partial
+
+from blvm_tpu.data.datasets import DATASETS
+from blvm_tpu.utils.argparsing import float_or_str, int_or_str, parse_args_by_group, str2bool
+from blvm_tpu.utils.rand import get_random_seed
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+
+    setup_group = parser.add_argument_group("setup")
+    setup_group.add_argument("--seed", type=int, default=get_random_seed())
+    setup_group.add_argument("--device", type=int_or_str, default="auto")
+    setup_group.add_argument("--use_amp", type=str2bool, default=False, help="accepted for compatibility; see --bf16")
+    setup_group.add_argument("--bf16", type=str2bool, default=False, help="bfloat16 activations (likelihoods stay f32)")
+    setup_group.add_argument("--num_workers", type=int, default=4, help="number of loader threads")
+    setup_group.add_argument("--save_checkpoints", type=str2bool, default=False)
+    setup_group.add_argument("--test_every", type=int, default=10, help="test every number of epochs")
+    setup_group.add_argument("--run_dir", type=str, default=None, help="output directory (checkpoints, metrics.jsonl)")
+
+    data_group = parser.add_argument_group("data")
+    data_group.add_argument("--dataset", type=str, default=None, choices=list(DATASETS.keys()))
+    data_group.add_argument("--bucket_multiple", type=int, default=1024, help="time-axis shape bucket size")
+    data_group.add_argument("--batch_size_bucket_base", type=int, default=8, help="pow2 batch-size bucket base")
+
+    train_group = parser.add_argument_group("training")
+    train_group.add_argument("--epochs", type=int, default=10)
+    train_group.add_argument("--batch_size", type=int, default=0, help="batch size in number of examples")
+    train_group.add_argument("--batch_len", type=float_or_str, default=0, help="batch size in total timesteps")
+    train_group.add_argument("--lr", type=float, default=3e-4)
+    train_group.add_argument("--length_sampler", type=str2bool, default=False)
+    train_group.add_argument("--debug_epoch_break_steps", type=int, default=None)
+
+    optim_group = parser.add_argument_group("optimizer")
+    optim_group.add_argument("--optimizer", type=str, default="Adam")
+    optim_group.add_argument("--optimizer_kwargs", type=json.loads, default=dict())
+    optim_group.add_argument("--max_grad_norm", type=float, default=float("inf"))
+    optim_group.add_argument("--max_grad_value", type=float, default=float("inf"))
+    optim_group.add_argument("--lr_scheduler", type=str, default="ExponentialLR")
+    optim_group.add_argument("--lr_scheduler_kwargs", type=json.loads, default=dict(gamma=1))
+
+    parser.add_argument_group("scheduler")
+
+    mesh_group = parser.add_argument_group("mesh")
+    mesh_group.add_argument("--n_devices", type=int, default=None, help="devices in the data-parallel mesh (default all)")
+
+    wandb_group = parser.add_argument_group("wandb")
+    wandb_group.add_argument("--entity", type=str, default=None)
+    wandb_group.add_argument("--project", type=str, default=None)
+    wandb_group.add_argument("--id", type=str, default=None)
+    wandb_group.add_argument("--name", type=str, default=None)
+    wandb_group.add_argument("--tags", type=str, nargs="+", default=None)
+    wandb_group.add_argument("--group", type=str, default=None)
+    wandb_group.add_argument("--notes", type=str, default=None)
+    wandb_group.add_argument("--resume", type=str, default=None)
+    wandb_group.add_argument("--mode", type=str, default=None, choices=["online", "offline", "disabled"])
+    wandb_group.add_argument("--job_type", type=str, default=None)
+
+    parser.parse_args_by_group = partial(parse_args_by_group, parser)
+    return parser

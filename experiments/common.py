@@ -1,0 +1,270 @@
+"""Shared experiment driver machinery.
+
+The reference repeats a canonical structure in every ``experiment_*_audio.py``
+(SURVEY §3.1): transforms → datasets → samplers → loaders → model → optimizer →
+epoch loop (train steps / eval / audio logging / best-checkpoint). This module
+factors that structure once, TPU-style:
+
+  * batches are shape-bucketed and padded to the mesh size, then device_put
+    with batch sharding (one compiled executable per bucket shape);
+  * schedule scalars (beta, free nats, lr) enter the jitted step as traced
+    values — annealing never recompiles;
+  * metric fetches are delayed by one step so the device never idles waiting
+    for the host.
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blvm_tpu.data import (
+    AudioLoader,
+    BaseDataset,
+    BucketSpec,
+    Compose,
+    DataLoader,
+    DynamicTensorBatcher,
+    LengthEvalSampler,
+    LengthTrainSampler,
+    MuLawDecode,
+    MuLawEncode,
+    RandomSegment,
+)
+from blvm_tpu.data.datasets import DATASETS
+from blvm_tpu.evaluation import Tracker
+from blvm_tpu.parallel import make_mesh, make_train_step, make_eval_step, shard_batch
+from blvm_tpu.parallel.mesh import pad_batch_to_devices
+from blvm_tpu.settings import LOGGER, RUNS_DIRECTORY
+from blvm_tpu.training import TrainState, get_optimizer, save_run
+from blvm_tpu.training.optim import get_lr_schedule
+from blvm_tpu.utils.audio import save_wav
+from blvm_tpu.utils.rand import set_seed
+
+
+def default_run_dir(args, script_name: str) -> Path:
+    name = args.name if getattr(args, "name", None) else f"{script_name}-{int(time.time())}"
+    run_dir = Path(args.run_dir) if getattr(args, "run_dir", None) else Path(RUNS_DIRECTORY) / name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+def build_transforms(args):
+    """µ-law encode/decode + optional random segment cropping (training only)."""
+    encode, decode = [], []
+    if args.input_coding == "mu_law":
+        encode.append(MuLawEncode(bits=args.num_bits))
+        decode.append(MuLawDecode(bits=args.num_bits))
+
+    if getattr(args, "random_segment_size", None):
+        encode_train = Compose(RandomSegment(args.random_segment_size, seed=args.seed), *encode)
+    else:
+        encode_train = Compose(*encode)
+
+    return encode_train, Compose(*encode), Compose(*decode)
+
+
+def build_audio_pipeline(args, n_devices: int):
+    """Datasets, samplers and loaders for the standard single-modality audio task."""
+    dataset = DATASETS[args.dataset]
+    encode_train, encode_eval, decode = build_transforms(args)
+
+    bucket = BucketSpec(mode="multiple", multiple=args.bucket_multiple)
+    batch_bucket = BucketSpec(mode="pow2", base=max(args.batch_size_bucket_base, n_devices))
+
+    batcher = lambda: DynamicTensorBatcher(axis=-1, bucket=bucket, batch_size_bucket=batch_bucket)
+    modalities_train = [(AudioLoader(dataset.audio_ext), encode_train, batcher())]
+    modalities_test = [(AudioLoader(dataset.audio_ext), encode_eval, batcher())]
+
+    train_dataset = BaseDataset(source=dataset.train, modalities=modalities_train)
+    if args.batch_len:
+        batch_len = 16000 * args.batch_len if isinstance(args.batch_len, float) else args.batch_len
+        train_sampler = LengthTrainSampler(
+            source=dataset.train,
+            field=dataset.audio_length,
+            batch_len=batch_len,
+            max_pool_difference=16000 * 0.3,
+            min_pool_size=512,
+            seed=args.seed,
+        )
+    else:
+        train_sampler = LengthEvalSampler(
+            source=dataset.train, field=dataset.audio_length, batch_size=args.batch_size, shuffle=True, seed=args.seed
+        )
+    train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
+
+    valid_test_loaders = {}
+    if getattr(args, "split_eval", False) and args.batch_size > 0:
+        batch_kwarg = dict(batch_size=args.batch_size)
+    else:
+        batch_kwarg = dict(batch_len=100 * 16000)
+    for source_name in [*dataset.valid_sets, *dataset.test_sets]:
+        valid_dataset = BaseDataset(source=source_name, modalities=modalities_test)
+        valid_sampler = LengthEvalSampler(source=source_name, field=dataset.audio_length, shuffle=True, **batch_kwarg)
+        valid_test_loaders[source_name] = DataLoader(
+            valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
+        )
+
+    return SimpleNamespace(
+        dataset=dataset,
+        train_loader=train_loader,
+        valid_test_loaders=valid_test_loaders,
+        decode_transform=decode,
+    )
+
+
+def make_scalar_schedules(annealers: Dict[str, object]):
+    """Step all annealers once and return the traced-scalar dict for the jit step."""
+
+    def step_schedules():
+        return {name: jnp.asarray(a.step(), jnp.float32) for name, a in annealers.items()}
+
+    return step_schedules
+
+
+def run_audio_training(
+    args,
+    model,
+    pipeline,
+    loss_fn: Callable,
+    annealers: Optional[Dict[str, object]] = None,
+    best_metric_name: str = "loss",
+    script_name: str = "experiment",
+    state_carry_eval: Optional[Callable] = None,
+):
+    """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
+
+    Args:
+        loss_fn: ``loss_fn(params, rng, batch, scalars) -> (loss, (mets, outputs))``.
+        annealers: name → Annealer stepped once per training step; values are
+            passed to ``loss_fn`` through ``scalars``.
+        best_metric_name: eval metric gating checkpoint saving (min is best).
+        state_carry_eval: optional ``f(eval_step, params, rng, x, x_sl, scalars,
+            tracker, source)`` implementing chunked split-eval with state carry.
+    """
+    run_dir = default_run_dir(args, script_name)
+    root_key = set_seed(args.seed)
+
+    mesh = make_mesh(args.n_devices)
+    n_devices = len(mesh.devices.flatten()) if hasattr(mesh.devices, "flatten") else mesh.devices.size
+    LOGGER.info(f"mesh: {n_devices} device(s); run dir: {run_dir}")
+
+    annealers = annealers or {}
+    schedules = make_scalar_schedules(annealers)
+
+    # one warmup batch to initialize parameters
+    (x0, x0_sl), _ = next(iter(pipeline.train_loader))
+    x0, x0_sl = pad_batch_to_devices(x0, x0_sl, n_devices)
+    params_key, rng_key = jax.random.split(root_key)
+    variables = model.init(
+        {"params": params_key, "sample": jax.random.PRNGKey(0)}, jnp.asarray(x0), jnp.asarray(x0_sl)
+    )
+
+    from blvm_tpu.models.base import count_parameters
+
+    LOGGER.info(f"model parameters: {count_parameters(variables['params']):,}")
+
+    lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs) if args.lr_scheduler else args.lr
+    tx = get_optimizer(
+        args.optimizer,
+        lr,
+        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
+        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
+        skip_nonfinite_updates=getattr(args, "skip_nonfinite_updates", False),
+        **args.optimizer_kwargs,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+
+    train_step = make_train_step(loss_fn, mesh=mesh)
+    eval_step = make_eval_step(loss_fn, mesh=mesh)
+
+    tracker = Tracker(
+        jsonl_path=str(run_dir / "metrics.jsonl"),
+        use_wandb=getattr(args, "mode", None) not in (None, "disabled"),
+        debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
+    )
+
+    dataset = pipeline.dataset
+    eval_key = jax.random.PRNGKey(args.seed + 1)
+    build_metrics = model.build_metrics
+
+    for epoch in tracker.epochs(args.epochs):
+        # ------------------------------------------------------------- training
+        for (x, x_sl), metadata in tracker.steps(pipeline.train_loader, source=dataset.train):
+            x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
+            batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+            scalars = schedules()
+            state, mets = train_step(state, batch, scalars)
+            # the fetch below syncs on this step's result; the loader threads
+            # keep the next batch ready so the device restarts immediately
+            tracker.update(build_metrics(jax.device_get(mets)))
+
+        # ------------------------------------------------------------------ eval
+        extra = dict()
+        if (epoch % args.test_every) == 0:
+            outputs = None
+            scalars = {name: jnp.asarray(a.value if a.value is not None else a.step(), jnp.float32) for name, a in annealers.items()}
+            for source_name, loader in pipeline.valid_test_loaders.items():
+                for (x, x_sl), metadata in tracker.steps(loader, source=source_name):
+                    x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
+                    eval_key, sub = jax.random.split(eval_key)
+                    if getattr(args, "split_eval", False) and state_carry_eval is not None:
+                        state_carry_eval(eval_step, state.params, sub, x, x_sl, scalars, tracker, source_name)
+                    else:
+                        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+                        mets, outputs = eval_step(state.params, sub, batch, scalars)
+                        tracker.update(build_metrics(jax.device_get(mets)))
+
+            # log audio reconstructions from the final eval batch
+            if outputs is not None:
+                _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
+
+            # conditional best-checkpoint save (reference gating semantics)
+            if (
+                args.save_checkpoints
+                and epoch > args.test_every
+                and dataset.test in tracker.accumulated_values
+                and best_metric_name in tracker.accumulated_values[dataset.test]
+                and len(tracker.accumulated_values[dataset.test][best_metric_name]) > 1
+                and min(tracker.accumulated_values[dataset.test][best_metric_name][:-1])
+                > tracker.accumulated_values[dataset.test][best_metric_name][-1]
+            ):
+                save_run(
+                    str(run_dir),
+                    model=model,
+                    params=state.params,
+                    opt_state=state.opt_state,
+                    annealers=annealers,
+                    tracker=tracker,
+                    step=int(state.step),
+                )
+
+        current_lr = lr(int(state.step)) if callable(lr) else lr
+        tracker.log(learning_rate=float(current_lr), **extra)
+
+    return state, tracker
+
+
+def _log_reconstructions(outputs, decode_transform, run_dir: Path, epoch: int, sample_rate: int = 16000):
+    """Save up to 2 reconstructions (mode + sample) as wavs under the run dir."""
+    audio_dir = run_dir / "audio"
+    audio_dir.mkdir(exist_ok=True)
+    for attr, tag in (
+        ("reconstructions_mode", "mode"),
+        ("reconstruction_mode", "mode"),
+        ("reconstructions", "sample"),
+        ("reconstruction_sample", "sample"),
+    ):
+        rec = getattr(outputs, attr, None)
+        if rec is None:
+            continue
+        rec = np.asarray(jax.device_get(rec))
+        rec = decode_transform(rec)
+        for i in range(min(2, rec.shape[0])):
+            save_wav(audio_dir / f"epoch{epoch:04d}_{tag}_{i}.wav", rec[i], sample_rate)

@@ -1,0 +1,96 @@
+"""Train the Clockwork-VAE on audio waveforms (TPU rebuild of reference
+``experiments/experiment_clockwork_audio.py``)."""
+
+import jax
+
+from blvm_tpu.models import CWVAEAudio
+from blvm_tpu.training import CosineAnnealer
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+
+from common import build_audio_pipeline, run_audio_training
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        dataset="timit",
+        epochs=1000,
+        batch_len=16000 * 16,
+        optimizer="Adam",
+        lr=3e-4,
+        test_every=10,
+    )
+    model_group = parser.add_argument_group("model")
+    model_group.add_argument("--z_size", default=96, type=int)
+    model_group.add_argument("--h_size", default=96, type=int)
+    model_group.add_argument("--strides", default=[64, 16, 16], type=int, nargs="+")
+    model_group.add_argument("--num_level_layers", default=3, type=int)
+    model_group.add_argument("--stride_per_layer", default=4, type=int)
+    model_group.add_argument("--residual_posterior", default=False, type=str2bool)
+    model_group.add_argument("--precision_posterior", default=False, type=str2bool)
+    model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
+    model_group.add_argument("--num_bits", default=16, type=int)
+    model_group.add_argument("--likelihood", default="DMoL", type=str)
+    model_group.add_argument("--num_mix", default=10, type=int)
+    model_group.add_argument("--random_segment_size", default=None, type=int)
+    model_group.add_argument("--beta_anneal_steps", default=50000, type=int)
+    model_group.add_argument("--beta_start_value", default=0, type=float)
+    model_group.add_argument("--free_nats_steps", default=0, type=int)
+    model_group.add_argument("--free_nats_start_value", default=2.0, type=float)
+    model_group.add_argument("--split_eval", default=False, type=str2bool)
+    return parser.parse_args()
+
+
+def main():
+    args = build_args()
+
+    model = CWVAEAudio(
+        z_size=args.z_size,
+        h_size=args.h_size,
+        strides=tuple(args.strides),
+        residual_posterior=args.residual_posterior,
+        precision_posterior=args.precision_posterior,
+        num_level_layers=args.num_level_layers,
+        stride_per_layer=args.stride_per_layer,
+        likelihood=args.likelihood,
+        num_mix=args.num_mix,
+        num_bins=2**args.num_bits,
+    )
+
+    annealers = dict(
+        beta=CosineAnnealer(anneal_steps=args.beta_anneal_steps, start_value=args.beta_start_value, end_value=1.0),
+        free_nats=CosineAnnealer(
+            anneal_steps=args.free_nats_steps // 2,
+            constant_steps=args.free_nats_steps // 2,
+            start_value=args.free_nats_start_value,
+            end_value=0.0,
+        ),
+    )
+
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params},
+            batch["x"],
+            batch["x_sl"],
+            beta=scalars.get("beta", 1.0),
+            free_nats=scalars.get("free_nats", 0.0),
+            pad_strideable=True,
+            rngs={"sample": rng},
+        )
+        return loss, (mets, outputs)
+
+    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    run_audio_training(
+        args,
+        model,
+        pipeline,
+        loss_fn,
+        annealers=annealers,
+        best_metric_name="loss",
+        script_name="clockwork_audio",
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Train the frame-stacked autoregressive LSTM on audio waveforms.
+
+TPU rebuild of reference ``experiments/experiment_lstm_audio.py`` — same CLI
+(so ``benchmarks.txt`` run specs work unchanged).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from blvm_tpu.models import LSTMAudio
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+
+from common import build_audio_pipeline, run_audio_training
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        dataset="timit",
+        epochs=1000,
+        batch_len=16000 * 64,
+        optimizer="Adam",
+        lr=3e-4,
+        test_every=10,
+    )
+    model_group = parser.add_argument_group("model")
+    model_group.add_argument("--stack_size", default=64, type=int, help="waveform frames per input vector")
+    model_group.add_argument("--hidden_size", default=256, type=int)
+    model_group.add_argument("--num_layers", default=1, type=int)
+    model_group.add_argument("--dropout", default=0, type=float)
+    model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
+    model_group.add_argument("--num_bits", default=16, type=int)
+    model_group.add_argument("--num_mix", default=10, type=int)
+    model_group.add_argument("--likelihood", default="DMoL", type=str)
+    model_group.add_argument("--random_segment_size", default=None, type=int)
+    model_group.add_argument("--split_eval", default=False, type=str2bool)
+    return parser.parse_args()
+
+
+def main():
+    args = build_args()
+    if args.likelihood != "DMoL":
+        raise NotImplementedError("Only DMoL likelihood is supported")
+
+    model = LSTMAudio(
+        stack_size=args.stack_size,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        dropout=args.dropout,
+        num_mix=args.num_mix,
+        num_bins=2**args.num_bits,
+    )
+
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params}, batch["x"], batch["x_sl"], rngs={"sample": rng, "dropout": rng}, deterministic=False
+        )
+        return loss, (mets, outputs)
+
+    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    run_audio_training(args, model, pipeline, loss_fn, script_name="lstm_audio")
+
+
+if __name__ == "__main__":
+    main()

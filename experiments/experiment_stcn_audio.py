@@ -1,0 +1,92 @@
+"""Train the STCN on audio waveforms (TPU rebuild of reference
+``experiments/experiment_stcn_audio.py``)."""
+
+import jax
+
+from blvm_tpu.models import STCN
+from blvm_tpu.training import CosineAnnealer
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+
+from common import build_audio_pipeline, run_audio_training
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        dataset="timit",
+        epochs=1000,
+        batch_len=16000 * 16,
+        optimizer="Adam",
+        lr=3e-4,
+        test_every=10,
+    )
+    model_group = parser.add_argument_group("model")
+    model_group.add_argument("--n_layers", default=5, type=int, help="residual blocks per stack")
+    model_group.add_argument("--latent_size", default=[256, 128, 64, 32, 16], type=int, nargs="+")
+    model_group.add_argument("--res_channels", default=256, type=int)
+    model_group.add_argument("--kernel_size", default=2, type=int)
+    model_group.add_argument("--base_dilation", default=2, type=int)
+    model_group.add_argument("--n_stack_frames", default=1, type=int)
+    model_group.add_argument("--precision_posterior", default=True, type=str2bool)
+    model_group.add_argument("--dense", default=True, type=str2bool)
+    model_group.add_argument("--top_down", default=True, type=str2bool)
+    model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
+    model_group.add_argument("--num_bits", default=16, type=int)
+    model_group.add_argument("--likelihood", default="DMoL", type=str)
+    model_group.add_argument("--random_segment_size", default=None, type=int)
+    model_group.add_argument("--beta_anneal_steps", default=50000, type=int)
+    model_group.add_argument("--beta_start_value", default=0, type=float)
+    model_group.add_argument("--free_nats_steps", default=0, type=int)
+    model_group.add_argument("--free_nats_start_value", default=0.0625, type=float)
+    model_group.add_argument("--split_eval", default=False, type=str2bool)
+    return parser.parse_args()
+
+
+def run(args):
+    model = STCN(
+        likelihood=args.likelihood,
+        n_layers=args.n_layers,
+        latent_size=tuple(args.latent_size),
+        res_channels=args.res_channels,
+        kernel_size=args.kernel_size,
+        base_dilation=args.base_dilation,
+        n_stack_frames=args.n_stack_frames,
+        precision_posterior=args.precision_posterior,
+        dense=args.dense,
+        top_down=args.top_down,
+    )
+
+    annealers = dict(
+        beta=CosineAnnealer(anneal_steps=args.beta_anneal_steps, start_value=args.beta_start_value, end_value=1.0),
+        free_nats=CosineAnnealer(
+            anneal_steps=args.free_nats_steps // 2,
+            constant_steps=args.free_nats_steps // 2,
+            start_value=args.free_nats_start_value,
+            end_value=0.0,
+        ),
+    )
+
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params},
+            batch["x"],
+            batch["x_sl"],
+            beta=scalars.get("beta", 1.0),
+            free_nats=scalars.get("free_nats", 0.0),
+            rngs={"sample": rng},
+        )
+        return loss, (mets, outputs)
+
+    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    run_audio_training(
+        args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio"
+    )
+
+
+def main():
+    run(build_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Train WaveNet on audio waveforms (TPU rebuild of reference
+``experiments/experiment_wavenet_audio.py``)."""
+
+import jax
+
+from blvm_tpu.models import WaveNet
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+
+from common import build_audio_pipeline, run_audio_training
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        dataset="timit",
+        epochs=1000,
+        batch_len=16000 * 16,
+        optimizer="Adam",
+        lr=3e-4,
+        test_every=10,
+    )
+    model_group = parser.add_argument_group("model")
+    model_group.add_argument("--n_layers", default=10, type=int, help="layers per stack")
+    model_group.add_argument("--n_stacks", default=4, type=int)
+    model_group.add_argument("--res_channels", default=64, type=int)
+    model_group.add_argument("--kernel_size", default=2, type=int)
+    model_group.add_argument("--base_dilation", default=2, type=int)
+    model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
+    model_group.add_argument("--input_embedding_dim", default=1, type=int)
+    model_group.add_argument("--num_bits", default=16, type=int)
+    model_group.add_argument("--num_mix", default=10, type=int)
+    model_group.add_argument("--likelihood", default="DMoL", type=str)
+    model_group.add_argument("--random_segment_size", default=None, type=int)
+    model_group.add_argument("--n_stack_frames", default=1, type=int)
+    model_group.add_argument("--split_eval", default=False, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int)
+    return parser.parse_args()
+
+
+def main():
+    args = build_args()
+
+    model = WaveNet(
+        likelihood=args.likelihood,
+        embedding_dim=None if args.input_embedding_dim == 1 else args.input_embedding_dim,
+        num_bins=2**args.num_bits,
+        num_mix=args.num_mix,
+        n_layers=args.n_layers,
+        n_stacks=args.n_stacks,
+        res_channels=args.res_channels,
+        kernel_size=args.kernel_size,
+        base_dilation=args.base_dilation,
+        n_stack_frames=args.n_stack_frames,
+    )
+
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params}, batch["x"], batch["x_sl"], rngs={"sample": rng}
+        )
+        return loss, (mets, outputs)
+
+    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    run_audio_training(args, model, pipeline, loss_fn, script_name="wavenet_audio")
+
+
+if __name__ == "__main__":
+    main()
