@@ -1,0 +1,268 @@
+"""ASR/CTC probe: train SimpleLSTMASR on spectrograms, stacked waveforms, or
+dumped representations (.npy extension as ``--data_type``).
+
+TPU rebuild of reference ``experiments/experiment_asr_ctc.py``: two-modality
+dataset (features + text), phoneme/char/word targets, CTC train+eval with
+WER/CER, best-WER checkpoint gating.
+"""
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blvm_tpu.data import (
+    AudioLoader,
+    BaseDataset,
+    BucketSpec,
+    Compose,
+    DataLoader,
+    DynamicTensorBatcher,
+    LengthEvalSampler,
+    LengthTrainSampler,
+    NumpyLoader,
+    TextBatcher,
+    TextLoader,
+    TokenMap,
+    char_tokenizer,
+    clean_timit,
+    word_tokenizer,
+)
+from blvm_tpu.data.datasets import DATASETS
+from blvm_tpu.data.tokens import TIMIT_ALPHABET, TIMIT_PHONESET
+from blvm_tpu.data.transforms import EncodeInteger, LogMelSpectrogram, StackTensor, TextCleaner, Transform
+from blvm_tpu.evaluation import Tracker
+from blvm_tpu.models.lstm_asr import SimpleLSTMASR
+from blvm_tpu.parallel import make_mesh, make_train_step, make_eval_step, shard_batch
+from blvm_tpu.parallel.mesh import pad_batch_to_devices
+from blvm_tpu.settings import SOURCE_DIRECTORY
+from blvm_tpu.training import TrainState, get_optimizer, save_run
+from blvm_tpu.training.optim import get_lr_schedule
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+from blvm_tpu.utils.rand import set_seed
+
+from common import default_run_dir
+
+
+class TransposeTD(Transform):
+    """(D, T) → (T, D) feature layout for the LSTM."""
+
+    def forward(self, x):
+        return np.ascontiguousarray(np.asarray(x).T)
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        epochs=40,
+        batch_len=120,
+        optimizer="Adam",
+        lr=3e-4,
+        lr_scheduler="StepLR",
+        lr_scheduler_kwargs=dict(step_size=100_000, gamma=0.5),
+        max_grad_norm=3000.0,
+        max_grad_value=1000.0,
+        save_checkpoints=False,
+        dataset="timit",
+        num_workers=4,
+    )
+    model_group = parser.add_argument_group("model")
+    model_group.add_argument("--train_source", default=None, type=str)
+    model_group.add_argument("--data_type", default="spectrogram", type=str)
+    model_group.add_argument("--text_type", default="phon", choices=["word", "char", "phon"])
+    model_group.add_argument("--sample_rate", default=16000, type=int)
+    model_group.add_argument("--n_fft", default=512, type=int)
+    model_group.add_argument("--win_length", default=128, type=int)
+    model_group.add_argument("--hop_length", default=64, type=int)
+    model_group.add_argument("--n_mels", default=80, type=int)
+    model_group.add_argument("--hidden_size", default=128, type=int)
+    model_group.add_argument("--num_layers", default=1, type=int)
+    model_group.add_argument("--bidirectional", default=False, type=str2bool)
+    model_group.add_argument("--sum_directions", default=False, type=str2bool)
+    model_group.add_argument("--dropout_prob", default=0.30, type=float)
+    model_group.add_argument("--temporal_dropout", default=True, type=str2bool)
+    model_group.add_argument("--num_batches_per_epoch", default=1000, type=int)
+    return parser.parse_args()
+
+
+def build_modalities(args, dataset, token_map):
+    text_exts = dict(word="TXT", char="TXT", phon="PHN")
+    tokenizer = char_tokenizer if args.text_type == "char" else word_tokenizer
+
+    text_loader = TextLoader(text_exts[args.text_type], cache=True)
+    text_transform = Compose(
+        TextCleaner(clean_timit, lambda s: s.replace("h#", "").strip()),
+        EncodeInteger(token_map=token_map, tokenizer=tokenizer),
+    )
+    text_batcher = TextBatcher(bucket=BucketSpec(mode="multiple", multiple=16))
+
+    bucket = BucketSpec(mode="multiple", multiple=64)
+    if args.data_type == "spectrogram":
+        loader = AudioLoader(dataset.audio_ext, cache=False, sum_channels=True)
+        transform = Compose(
+            LogMelSpectrogram(
+                sample_rate=args.sample_rate,
+                n_fft=args.n_fft,
+                win_length=args.win_length,
+                hop_length=args.hop_length,
+                n_mels=args.n_mels,
+                normalize_frq_bins=True,
+            ),
+            TransposeTD(),
+        )
+    elif args.data_type == "waveform":
+        loader = AudioLoader(dataset.audio_ext, cache=False, sum_channels=True)
+        transform = StackTensor(args.hop_length)  # (T', hop) already time-major
+    else:
+        loader = NumpyLoader(args.data_type, cache=False, dtype=np.float32)
+        transform = None  # dumped representations are already (T, D)
+
+    feat_batcher = DynamicTensorBatcher(axis=0, bucket=bucket)
+    return [(loader, transform, feat_batcher), (text_loader, text_transform, text_batcher)]
+
+
+def main():
+    args = build_args()
+    run_dir = default_run_dir(args, "asr_ctc")
+    root_key = set_seed(args.seed)
+
+    dataset = DATASETS[args.dataset]
+    train_source = (
+        dataset.train
+        if args.train_source is None
+        else os.path.join(str(SOURCE_DIRECTORY), dataset.name, args.train_source)
+    )
+
+    alphabet = TIMIT_PHONESET if args.text_type == "phon" else TIMIT_ALPHABET
+    token_map = TokenMap(tokens=list(alphabet), add_blank=True)
+
+    modalities = build_modalities(args, dataset, token_map)
+
+    train_dataset = BaseDataset(source=train_source, modalities=modalities)
+    train_sampler = LengthTrainSampler(
+        source=train_source,
+        field=dataset.audio_length,
+        batch_len=args.sample_rate * args.batch_len,
+        max_pool_difference=args.sample_rate * 0.3,
+        min_pool_size=512,
+        num_batches=args.num_batches_per_epoch,
+        seed=args.seed,
+    )
+    train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
+
+    valid_test_loaders = {}
+    for source_name in [*dataset.valid_sets, *dataset.test_sets]:
+        valid_dataset = BaseDataset(source=source_name, modalities=modalities)
+        valid_sampler = LengthEvalSampler(
+            source=source_name,
+            field=dataset.audio_length,
+            shuffle=True,
+            batch_len=args.sample_rate * args.batch_len * 3,
+        )
+        valid_test_loaders[source_name] = DataLoader(
+            valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
+        )
+
+    mesh = make_mesh(args.n_devices)
+    n_devices = mesh.devices.size
+
+    # infer feature size from one batch
+    ((x0, x0_sl), (y0, y0_sl)), _ = next(iter(train_loader))
+    model = SimpleLSTMASR.from_token_map(
+        token_map,
+        input_size=x0.shape[-1],
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        bidirectional=args.bidirectional,
+        sum_directions=args.sum_directions,
+        temporal_dropout=args.temporal_dropout,
+        dropout_prob=args.dropout_prob,
+    )
+
+    params_key, rng_key = jax.random.split(root_key)
+    variables = model.init(
+        {"params": params_key, "dropout": jax.random.PRNGKey(0)},
+        jnp.asarray(x0),
+        jnp.asarray(x0_sl),
+        jnp.asarray(y0),
+        jnp.asarray(y0_sl),
+    )
+
+    lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs)
+    tx = get_optimizer(
+        args.optimizer,
+        lr,
+        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
+        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
+        **args.optimizer_kwargs,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params},
+            batch["x"],
+            batch["x_sl"],
+            batch["y"],
+            batch["y_sl"],
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        return loss, (mets, outputs)
+
+    def eval_loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params}, batch["x"], batch["x_sl"], batch["y"], batch["y_sl"], deterministic=True
+        )
+        return loss, (mets, outputs)
+
+    train_step = make_train_step(loss_fn, mesh=mesh)
+    eval_step = make_eval_step(eval_loss_fn, mesh=mesh)
+
+    tracker = Tracker(
+        jsonl_path=str(run_dir / "metrics.jsonl"),
+        debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
+    )
+
+    def make_batch(x, x_sl, y, y_sl):
+        x, x_sl = pad_batch_to_devices(np.asarray(x, np.float32), np.asarray(x_sl), n_devices)
+        y, y_sl = pad_batch_to_devices(np.asarray(y), np.asarray(y_sl), n_devices)
+        return shard_batch({"x": x, "x_sl": x_sl, "y": y, "y_sl": y_sl}, mesh)
+
+    eval_key = jax.random.PRNGKey(args.seed + 1)
+    hyps, refs = [], []
+    for epoch in tracker.epochs(args.epochs):
+        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(train_loader, source=str(train_source)):
+            batch = make_batch(x, x_sl, y, y_sl)
+            state, mets = train_step(state, batch, {})
+            metrics, _, _ = model.build_metrics(jax.device_get(mets))
+            tracker.update(metrics)
+
+        for source_name, loader in valid_test_loaders.items():
+            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(loader, source=source_name):
+                batch = make_batch(x, x_sl, y, y_sl)
+                eval_key, sub = jax.random.split(eval_key)
+                mets, outputs = eval_step(state.params, sub, batch, {})
+                metrics, hyps, refs = model.build_metrics(jax.device_get(mets))
+                tracker.update(metrics)
+
+        current_lr = lr(int(state.step)) if callable(lr) else lr
+        tracker.log(learning_rate=float(current_lr))
+
+        for r, h in zip(refs[:5], hyps[:5]):
+            print(f"Ref: {r}\nHyp: {h}")
+
+        if (
+            args.save_checkpoints
+            and dataset.test in tracker.accumulated_values
+            and tracker.accumulated_values[dataset.test]["wer"][-1]
+            == tracker.best_values[dataset.test]["best_wer"]
+        ):
+            save_run(str(run_dir), model=model, params=state.params, opt_state=state.opt_state, tracker=tracker, step=int(state.step))
+
+
+if __name__ == "__main__":
+    main()

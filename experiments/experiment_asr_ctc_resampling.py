@@ -1,0 +1,222 @@
+"""ASR/CTC probe on representations resampled from a FROZEN generative model.
+
+TPU rebuild of reference ``experiments/experiment_asr_ctc_resampling.py``: a
+trained LVM is restored from ``--model_dir`` (the reference used wandb run
+ids); inside probe training, each batch's waveform runs through the frozen
+model and ``z[z_index]`` is extracted with a FRESH stochastic sample each step
+("resampling") as input features for the CTC classifier.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blvm_tpu.data import (
+    AudioLoader,
+    BaseDataset,
+    BucketSpec,
+    Compose,
+    DataLoader,
+    DynamicTensorBatcher,
+    LengthEvalSampler,
+    LengthTrainSampler,
+    MuLawEncode,
+    TextBatcher,
+    TextLoader,
+    TokenMap,
+    char_tokenizer,
+    clean_timit,
+    word_tokenizer,
+)
+from blvm_tpu.data.datasets import DATASETS
+from blvm_tpu.data.tokens import TIMIT_ALPHABET, TIMIT_PHONESET
+from blvm_tpu.data.transforms import EncodeInteger, TextCleaner
+from blvm_tpu.evaluation import Tracker
+from blvm_tpu.models.base import load_model
+from blvm_tpu.models.lstm_asr import SimpleLSTMASR
+from blvm_tpu.settings import SOURCE_DIRECTORY
+from blvm_tpu.training import TrainState, get_optimizer
+from blvm_tpu.training.optim import get_lr_schedule
+from blvm_tpu.utils.argparsers import build_parser
+from blvm_tpu.utils.argparsing import str2bool
+from blvm_tpu.utils.rand import set_seed
+
+from common import default_run_dir
+
+
+def build_args():
+    parser = build_parser()
+    parser.set_defaults(
+        epochs=40,
+        batch_len=120,
+        optimizer="Adam",
+        lr=3e-4,
+        lr_scheduler=None,
+        max_grad_norm=3000.0,
+        max_grad_value=1000.0,
+        dataset="timit",
+        num_workers=4,
+    )
+    group = parser.add_argument_group("model")
+    group.add_argument("--model_dir", type=str, required=True, help="checkpoint dir of the frozen LVM")
+    group.add_argument("--z_index", default=0, type=int, help="which latent level to probe")
+    group.add_argument("--train_source", default=None, type=str)
+    group.add_argument("--text_type", default="phon", choices=["word", "char", "phon"])
+    group.add_argument("--sample_rate", default=16000, type=int)
+    group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
+    group.add_argument("--num_bits", default=16, type=int)
+    group.add_argument("--hidden_size", default=128, type=int)
+    group.add_argument("--num_layers", default=1, type=int)
+    group.add_argument("--bidirectional", default=False, type=str2bool)
+    group.add_argument("--sum_directions", default=False, type=str2bool)
+    group.add_argument("--dropout_prob", default=0.30, type=float)
+    group.add_argument("--temporal_dropout", default=True, type=str2bool)
+    group.add_argument("--num_batches_per_epoch", default=1000, type=int)
+    return parser.parse_args()
+
+
+def main():
+    args = build_args()
+    run_dir = default_run_dir(args, "asr_ctc_resampling")
+    root_key = set_seed(args.seed)
+
+    rep_model, rep_params = load_model(args.model_dir)
+
+    dataset = DATASETS[args.dataset]
+    train_source = (
+        dataset.train
+        if args.train_source is None
+        else os.path.join(str(SOURCE_DIRECTORY), dataset.name, args.train_source)
+    )
+
+    alphabet = TIMIT_PHONESET if args.text_type == "phon" else TIMIT_ALPHABET
+    token_map = TokenMap(tokens=list(alphabet), add_blank=True)
+    tokenizer = char_tokenizer if args.text_type == "char" else word_tokenizer
+    text_exts = dict(word="TXT", char="TXT", phon="PHN")
+
+    encode = Compose(MuLawEncode(bits=args.num_bits)) if args.input_coding == "mu_law" else Compose()
+    bucket = BucketSpec(mode="multiple", multiple=4096)
+    modalities = [
+        (AudioLoader(dataset.audio_ext), encode, DynamicTensorBatcher(axis=-1, bucket=bucket)),
+        (
+            TextLoader(text_exts[args.text_type], cache=True),
+            Compose(
+                TextCleaner(clean_timit, lambda s: s.replace("h#", "").strip()),
+                EncodeInteger(token_map=token_map, tokenizer=tokenizer),
+            ),
+            TextBatcher(bucket=BucketSpec(mode="multiple", multiple=16)),
+        ),
+    ]
+
+    train_dataset = BaseDataset(source=train_source, modalities=modalities)
+    train_sampler = LengthTrainSampler(
+        source=train_source,
+        field=dataset.audio_length,
+        batch_len=args.sample_rate * args.batch_len,
+        max_pool_difference=args.sample_rate * 0.3,
+        min_pool_size=512,
+        num_batches=args.num_batches_per_epoch,
+        seed=args.seed,
+    )
+    train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
+
+    valid_test_loaders = {}
+    for source_name in [*dataset.valid_sets, *dataset.test_sets]:
+        ds = BaseDataset(source=source_name, modalities=modalities)
+        sampler = LengthEvalSampler(
+            source=source_name, field=dataset.audio_length, shuffle=True, batch_len=args.sample_rate * args.batch_len * 3
+        )
+        valid_test_loaders[source_name] = DataLoader(ds, batch_sampler=sampler, num_workers=args.num_workers)
+
+    @jax.jit
+    def get_representation(x, x_sl, key):
+        """Frozen-model z extraction; fresh sample each call (reference
+        ``experiment_asr_ctc_resampling.py:184-199``)."""
+        _, _, output = rep_model.apply({"params": rep_params}, x, x_sl, rngs={"sample": key})
+        z = output.z[args.z_index] if isinstance(output.z, (list, tuple)) else output.z
+        z_sl = output.z_sl[args.z_index] if isinstance(output.z_sl, (list, tuple)) else output.z_sl
+        return jax.lax.stop_gradient(z), z_sl
+
+    # probe model sized from one representation batch
+    ((x0, x0_sl), (y0, y0_sl)), _ = next(iter(train_loader))
+    key0, root_key = jax.random.split(root_key)
+    z0, z0_sl = get_representation(jnp.asarray(x0), jnp.asarray(x0_sl), key0)
+
+    model = SimpleLSTMASR.from_token_map(
+        token_map,
+        input_size=z0.shape[-1],
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        bidirectional=args.bidirectional,
+        sum_directions=args.sum_directions,
+        temporal_dropout=args.temporal_dropout,
+        dropout_prob=args.dropout_prob,
+    )
+    params_key, rng_key = jax.random.split(root_key)
+    variables = model.init(
+        {"params": params_key, "dropout": jax.random.PRNGKey(0)},
+        z0,
+        z0_sl,
+        jnp.asarray(y0),
+        jnp.asarray(y0_sl),
+    )
+
+    lr = get_lr_schedule(args.lr_scheduler, args.lr, **(args.lr_scheduler_kwargs or {})) if args.lr_scheduler else args.lr
+    tx = get_optimizer(
+        args.optimizer,
+        lr,
+        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
+        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
+        **args.optimizer_kwargs,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+
+    @jax.jit
+    def train_step(state, z, z_sl, y, y_sl):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            loss, mets, _ = model.apply(
+                {"params": params}, z, z_sl, y, y_sl, deterministic=False, rngs={"dropout": step_rng}
+            )
+            return loss, mets
+
+        (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(rng=rng)
+        return state, mets
+
+    @jax.jit
+    def eval_step(params, z, z_sl, y, y_sl):
+        loss, mets, _ = model.apply({"params": params}, z, z_sl, y, y_sl, deterministic=True)
+        return mets
+
+    tracker = Tracker(
+        jsonl_path=str(run_dir / "metrics.jsonl"),
+        debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
+    )
+    rep_key = jax.random.PRNGKey(args.seed + 2)
+
+    for epoch in tracker.epochs(args.epochs):
+        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(train_loader, source=str(train_source)):
+            rep_key, sub = jax.random.split(rep_key)
+            z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
+            state, mets = train_step(state, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
+            metrics, _, _ = model.build_metrics(jax.device_get(mets))
+            tracker.update(metrics)
+
+        for source_name, loader in valid_test_loaders.items():
+            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(loader, source=source_name):
+                rep_key, sub = jax.random.split(rep_key)
+                z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
+                mets = eval_step(state.params, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
+                metrics, hyps, refs = model.build_metrics(jax.device_get(mets))
+                tracker.update(metrics)
+
+        current_lr = lr(int(state.step)) if callable(lr) else lr
+        tracker.log(learning_rate=float(current_lr))
+
+
+if __name__ == "__main__":
+    main()

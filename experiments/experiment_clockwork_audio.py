@@ -22,8 +22,9 @@ def build_args():
         test_every=10,
     )
     model_group = parser.add_argument_group("model")
-    model_group.add_argument("--z_size", default=96, type=int)
-    model_group.add_argument("--h_size", default=96, type=int)
+    model_group.add_argument("--hidden_size", default=[96], type=int, nargs="+")
+    model_group.add_argument("--latent_size", default=[96], type=int, nargs="+")
+    model_group.add_argument("--global_size", default=0, type=int)
     model_group.add_argument("--strides", default=[64, 16, 16], type=int, nargs="+")
     model_group.add_argument("--num_level_layers", default=3, type=int)
     model_group.add_argument("--stride_per_layer", default=4, type=int)
@@ -45,9 +46,15 @@ def build_args():
 def main():
     args = build_args()
 
+    def expand(vals, n):
+        vals = list(vals)
+        return tuple(vals * n) if len(vals) == 1 else tuple(vals)
+
+    n_levels = len(args.strides)
     model = CWVAEAudio(
-        z_size=args.z_size,
-        h_size=args.h_size,
+        z_size=expand(args.latent_size, n_levels),
+        h_size=expand(args.hidden_size, n_levels),
+        g_size=args.global_size,
         strides=tuple(args.strides),
         residual_posterior=args.residual_posterior,
         precision_posterior=args.precision_posterior,

@@ -22,12 +22,13 @@ def build_args():
         test_every=10,
     )
     model_group = parser.add_argument_group("model")
-    model_group.add_argument("--n_layers", default=5, type=int, help="residual blocks per stack")
+    model_group.add_argument("--hidden_size", default=256, type=int, help="res_channels of the conv stacks")
     model_group.add_argument("--latent_size", default=[256, 128, 64, 32, 16], type=int, nargs="+")
-    model_group.add_argument("--res_channels", default=256, type=int)
+    model_group.add_argument("--num_layers", default=5, type=int, help="WaveNet blocks per stack")
+    model_group.add_argument("--num_stacks", default=None, type=int, help="WaveNet stacks (defaults to number of latents)")
     model_group.add_argument("--kernel_size", default=2, type=int)
     model_group.add_argument("--base_dilation", default=2, type=int)
-    model_group.add_argument("--n_stack_frames", default=1, type=int)
+    model_group.add_argument("--num_stack_frames", default=1, type=int)
     model_group.add_argument("--precision_posterior", default=True, type=str2bool)
     model_group.add_argument("--dense", default=True, type=str2bool)
     model_group.add_argument("--top_down", default=True, type=str2bool)
@@ -46,12 +47,13 @@ def build_args():
 def run(args):
     model = STCN(
         likelihood=args.likelihood,
-        n_layers=args.n_layers,
+        n_layers=args.num_layers,
+        n_stacks=args.num_stacks,
         latent_size=tuple(args.latent_size),
-        res_channels=args.res_channels,
+        res_channels=args.hidden_size,
         kernel_size=args.kernel_size,
         base_dilation=args.base_dilation,
-        n_stack_frames=args.n_stack_frames,
+        n_stack_frames=args.num_stack_frames,
         precision_posterior=args.precision_posterior,
         dense=args.dense,
         top_down=args.top_down,

@@ -33,6 +33,7 @@ def synthetic_dataset(tmp_path):
     from blvm_tpu.data.datasets import DATASETS
 
     rng = np.random.default_rng(0)
+    phones = ["ah", "eh", "s", "t"]
     splits = {}
     for split, n in [("train", 8), ("valid", 2), ("test", 2)]:
         rows = []
@@ -40,6 +41,9 @@ def synthetic_dataset(tmp_path):
             length = int(rng.integers(2000, 4000))
             stem = tmp_path / f"{split}_{i}"
             write_wav(str(stem) + ".wav", rng.uniform(-0.5, 0.5, size=length))
+            with open(str(stem) + ".PHN", "w") as f:
+                # TIMIT-style aligned phone file: "start end phone" lines
+                f.write("\n".join(f"{j * 100} {(j + 1) * 100} {rng.choice(phones)}" for j in range(4)) + "\n")
             rows.append({"filename": str(stem), "length.wav.samples": length})
         source = tmp_path / f"{split}.txt"
         with open(source, "w", newline="") as f:
@@ -96,3 +100,51 @@ class TestLSTMDriver:
         # audio reconstructions logged
         wavs = list((run_dir / "audio").glob("*.wav"))
         assert len(wavs) > 0
+
+
+class TestDistributionBaseline:
+    def test_runs(self, synthetic_dataset, monkeypatch, capsys):
+        argv = [
+            "experiment_distribution_audio.py",
+            "--dataset", "synthetic",
+            "--input_coding", "mu_law",
+            "--num_bits", "16",
+            "--num_workers", "0",
+            "--batch_len", "64000",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_distribution_audio")
+        driver.main()
+        out = capsys.readouterr().out
+        assert "bpd" in out
+
+
+class TestASRCTCDriver:
+    def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "asr_run"
+        argv = [
+            "experiment_asr_ctc.py",
+            "--dataset", "synthetic",
+            "--data_type", "spectrogram",
+            "--text_type", "phon",
+            "--epochs", "1",
+            "--batch_len", "2",
+            "--num_batches_per_epoch", "2",
+            "--hidden_size", "16",
+            "--n_mels", "20",
+            "--n_fft", "128",
+            "--win_length", "128",
+            "--hop_length", "64",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_asr_ctc")
+        driver.main()
+
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert "synthetic_test" in lines[0]
+        assert "wer" in lines[0]["synthetic_test"]
+        assert lines[0]["synthetic_test"]["wer"] >= 0.0  # unbounded above (insertions)
