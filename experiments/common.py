@@ -162,9 +162,12 @@ def run_audio_training(
     (x0, x0_sl), _ = next(iter(pipeline.train_loader))
     x0, x0_sl = pad_batch_to_devices(x0, x0_sl, n_devices)
     params_key, rng_key = jax.random.split(root_key)
-    variables = model.init(
-        {"params": params_key, "sample": jax.random.PRNGKey(0)}, jnp.asarray(x0), jnp.asarray(x0_sl)
-    )
+    # init inside jit: eager op-by-op initialization would trigger one device
+    # compilation per op (catastrophic for the 50-layer conv stacks)
+    x0_j, x0_sl_j = jnp.asarray(x0), jnp.asarray(x0_sl)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(0)}, x0_j, x0_sl_j)
+    )(params_key)
 
     from blvm_tpu.models.base import count_parameters
 

@@ -183,13 +183,10 @@ def main():
     )
 
     params_key, rng_key = jax.random.split(root_key)
-    variables = model.init(
-        {"params": params_key, "dropout": jax.random.PRNGKey(0)},
-        jnp.asarray(x0),
-        jnp.asarray(x0_sl),
-        jnp.asarray(y0),
-        jnp.asarray(y0_sl),
-    )
+    x0_j, x0_sl_j, y0_j, y0_sl_j = (jnp.asarray(a) for a in (x0, x0_sl, y0, y0_sl))
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": jax.random.PRNGKey(0)}, x0_j, x0_sl_j, y0_j, y0_sl_j)
+    )(params_key)
 
     lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs)
     tx = get_optimizer(

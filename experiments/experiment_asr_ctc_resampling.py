@@ -155,13 +155,10 @@ def main():
         dropout_prob=args.dropout_prob,
     )
     params_key, rng_key = jax.random.split(root_key)
-    variables = model.init(
-        {"params": params_key, "dropout": jax.random.PRNGKey(0)},
-        z0,
-        z0_sl,
-        jnp.asarray(y0),
-        jnp.asarray(y0_sl),
-    )
+    y0_j, y0_sl_j = jnp.asarray(y0), jnp.asarray(y0_sl)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": jax.random.PRNGKey(0)}, z0, z0_sl, y0_j, y0_sl_j)
+    )(params_key)
 
     lr = get_lr_schedule(args.lr_scheduler, args.lr, **(args.lr_scheduler_kwargs or {})) if args.lr_scheduler else args.lr
     tx = get_optimizer(
