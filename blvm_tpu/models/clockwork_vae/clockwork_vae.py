@@ -196,6 +196,7 @@ class CWVAE(nn.Module):
         context = jnp.zeros((B, encodings[-1].shape[1], 0))
 
         kld_l = [None] * self.num_levels
+        mc_kld_l = [None] * self.num_levels
         latents = [None] * self.num_levels
         enc_mus = [None] * self.num_levels
         prior_mus = [None] * self.num_levels
@@ -225,6 +226,14 @@ class CWVAE(nn.Module):
             enc_mus[l] = outs["enc_mu"]
             prior_mus[l] = outs["prior_mu"]
             kld_l[l] = kl_divergence_gaussian(outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"])
+            from blvm_tpu.ops.variational import kl_divergence_gaussian_mc
+
+            mc_kld_l[l] = (
+                kl_divergence_gaussian_mc(
+                    outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"], z_seq
+                )
+                * level_masks[l][..., None]
+            ).sum(axis=(1, 2))
 
             # context for the level below: decoder-upsampled [z, h]
             context_cat = jnp.concatenate([z_seq, h_seq], axis=-1)
@@ -245,6 +254,7 @@ class CWVAE(nn.Module):
             log_prob=log_prob,
             kld=kld,
             kld_l=kld_l,
+            mc_kl=sum(mc_kld_l),
             x_sl=x_sl,
             beta=jnp.asarray(beta),
             free_nats=jnp.asarray(free_nats),

@@ -29,3 +29,11 @@ def compute_sequence_elbo(likelihood, y, parameters, kld_twise, x_sl, stride: in
     loss = -(log_prob - beta * kld_fn).sum() / x_sl.sum()
 
     return loss, elbo, log_prob, kld, seq_mask
+
+
+def masked_strided_sum(kld_twise, x_sl, max_len: int, stride: int):
+    """Sum an elementwise latent quantity over time (at encoder stride) and
+    latent dims with the same mask the ELBO's KL term uses. Returns (B,)."""
+    seq_mask = sequence_mask(x_sl, max_len=max_len, dtype=jnp.float32)
+    seq_mask_kl = seq_mask[:, ::stride, None][:, : kld_twise.shape[1]]
+    return (kld_twise * seq_mask_kl).sum(axis=(1, 2))

@@ -220,11 +220,21 @@ class SRNN(nn.Module):
             self.likelihood, y, parameters, kld, x_sl, stride, beta, free_nats
         )
 
+        # per-sample MC KL for importance-weighted bounds (evaluation/bounds.py)
+        from blvm_tpu.models.elbo import masked_strided_sum
+        from blvm_tpu.ops.variational import kl_divergence_gaussian_mc
+
+        mc_kld = kl_divergence_gaussian_mc(
+            outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"], outs["z"]
+        )
+        mc_kl = masked_strided_sum(mc_kld, x_sl, y.shape[1], stride)
+
         mets = dict(
             loss=loss,
             elbo=elbo,
             log_prob=log_prob,
             kl=kl,
+            mc_kl=mc_kl,
             x_sl=x_sl,
             beta=jnp.asarray(beta),
             free_nats=jnp.asarray(free_nats),

@@ -252,6 +252,14 @@ class STCN(BaseModel):
             y, x_sl, params, mu_p, sd_p, mu_q, sd_q, z, free_nats, beta
         )
 
+        # per-sample MC KL across all layers (importance-weighted bounds)
+        seq_mask_ = sequence_mask(x_sl, max_len=y.shape[1], dtype=jnp.float32)
+        z_mask_ = seq_mask_[:, :: self.n_stack_frames, None][:, : mu_p[0].shape[1]]
+        mc_kl = sum(
+            (kl_divergence_gaussian_mc(mu_q[l], sd_q[l], mu_p[l], sd_p[l], z[l]) * z_mask_).sum(axis=(1, 2))
+            for l in range(self._n_latents)
+        )
+
         reconstructions = self.likelihood_module.sample(self.make_rng("sample"), params)
         reconstructions_mode = self.likelihood_module.mode(params)
 
@@ -262,6 +270,7 @@ class STCN(BaseModel):
             log_prob=log_prob,
             kld=kld,
             klds=klds,
+            mc_kl=mc_kl,
             x_sl=x_sl,
             beta=jnp.asarray(beta),
             free_nats=jnp.asarray(free_nats),

@@ -179,6 +179,16 @@ class VRNN(nn.Module):
 
         loss, elbo, log_prob, kl, seq_mask = self.compute_elbo(y, parameters, kld, x_sl, stride, beta, free_nats)
 
+        # MC form of the KL at the drawn z — the per-sample log-weight term for
+        # importance-weighted bounds (evaluation/bounds.py)
+        from blvm_tpu.models.elbo import masked_strided_sum
+        from blvm_tpu.ops.variational import kl_divergence_gaussian_mc
+
+        mc_kld = kl_divergence_gaussian_mc(
+            outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"], outs["z"]
+        )
+        mc_kl = masked_strided_sum(mc_kld, x_sl, y.shape[1], stride)
+
         z = outs["z"]
         z_sl = jnp.ceil(x_sl / stride).astype(jnp.int32)
         mets = dict(
@@ -186,6 +196,7 @@ class VRNN(nn.Module):
             elbo=elbo,
             log_prob=log_prob,
             kl=kl,
+            mc_kl=mc_kl,
             x_sl=x_sl,
             beta=jnp.asarray(beta),
             free_nats=jnp.asarray(free_nats),
