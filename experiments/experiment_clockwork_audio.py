@@ -87,6 +87,39 @@ def main():
         )
         return loss, (mets, outputs)
 
+    # chunked eval carrying per-level (z, h) states; last chunk uses same
+    # padding (reference experiment_clockwork_audio.py:255-266; metrics merged
+    # with check_unique=False there — our metric names are already unique)
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5,))
+    def eval_chunk(params, rng, x, x_sl, state0, is_last, beta, free_nats):
+        _, mets, out = model.apply(
+            {"params": params},
+            x,
+            x_sl,
+            state0=state0,
+            beta=beta,
+            free_nats=free_nats,
+            pad_strideable=False,
+            pad_same=is_last,
+            rngs={"sample": rng},
+        )
+        return mets, out.state_n
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 4 * model.overall_stride)
+        state0 = None
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            is_last = i == len(chunks) - 1
+            mets, state0 = eval_chunk(
+                params, rng, jnp.asarray(xs), jnp.asarray(sl), state0, is_last,
+                scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
+            )
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source, check_unique=False)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
         args,
@@ -96,6 +129,7 @@ def main():
         annealers=annealers,
         best_metric_name="loss",
         script_name="clockwork_audio",
+        state_carry_eval=state_carry_eval,
     )
 
 

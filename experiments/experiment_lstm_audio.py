@@ -58,8 +58,30 @@ def main():
         )
         return loss, (mets, outputs)
 
+    # chunked eval with carried LSTM state (reference experiment_lstm_audio.py:203-208,
+    # whose state carry was broken by the s_n/sn name mismatch — fixed here)
+    import jax.numpy as jnp
+    from blvm_tpu.ops.sequence import split_sequence
+
+    @jax.jit
+    def eval_chunk(params, rng, x, x_sl, s0):
+        _, mets, out = model.apply({"params": params}, x, x_sl, s_0=s0, rngs={"sample": rng})
+        return mets, out.s_n
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        length = args.random_segment_size or 16 * args.stack_size
+        chunks, lens = split_sequence(x, x_sl, length=length, overlap=0)
+        B = x.shape[0]
+        s0 = (
+            jnp.zeros((args.num_layers, B, args.hidden_size)),
+            jnp.zeros((args.num_layers, B, args.hidden_size)),
+        )
+        for xs, sl in zip(chunks, lens):
+            mets, s0 = eval_chunk(params, rng, jnp.asarray(xs), jnp.asarray(sl), s0)
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
-    run_audio_training(args, model, pipeline, loss_fn, script_name="lstm_audio")
+    run_audio_training(args, model, pipeline, loss_fn, script_name="lstm_audio", state_carry_eval=state_carry_eval)
 
 
 if __name__ == "__main__":

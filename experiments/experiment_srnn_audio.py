@@ -83,9 +83,34 @@ def main():
         )
         return loss, (mets, outputs)
 
+    # chunked eval carrying d_0/a_0/z_0 between chunks
+    # (reference experiment_srnn_audio.py:262-269)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def eval_chunk(params, rng, x, x_sl, d0, z0, beta, free_nats):
+        _, mets, out = model.apply(
+            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats, d_0=d0, z_0=z0, rngs={"sample": rng}
+        )
+        return mets, (out.d_n, out.z_n)
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16 * args.stack_frames)
+        B = x.shape[0]
+        d0 = jnp.zeros((B, 2 * args.hidden_size))
+        z0 = jnp.zeros((B, args.latent_size))
+        for xs, sl in zip(chunks, lens):
+            mets, (d0, z0) = eval_chunk(
+                params, rng, jnp.asarray(xs), jnp.asarray(sl), d0, z0,
+                scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
+            )
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     add_statistics_normalization(args, pipeline)
-    run_audio_training(args, model, pipeline, loss_fn, annealers=annealers, script_name="srnn_audio")
+    run_audio_training(
+        args, model, pipeline, loss_fn, annealers=annealers, script_name="srnn_audio", state_carry_eval=state_carry_eval
+    )
 
 
 if __name__ == "__main__":

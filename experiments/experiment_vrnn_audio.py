@@ -100,9 +100,34 @@ def main():
         )
         return loss, (mets, outputs)
 
+    # chunked eval carrying the recurrent state h between chunks
+    import jax.numpy as jnp
+    from blvm_tpu.ops.padding import get_modulo_length
+    from blvm_tpu.ops.sequence import split_sequence
+
+    @jax.jit
+    def eval_chunk(params, rng, x, x_sl, h0, beta, free_nats):
+        _, mets, out = model.apply(
+            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats, h0=h0, rngs={"sample": rng}
+        )
+        return mets, out.h_n
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        length = get_modulo_length(args.random_segment_size or 16 * args.stack_frames, args.stack_frames)
+        chunks, lens = split_sequence(x, x_sl, length=length, overlap=0)
+        h0 = jnp.zeros((x.shape[0], 2 * args.hidden_size))
+        for xs, sl in zip(chunks, lens):
+            mets, h0 = eval_chunk(
+                params, rng, jnp.asarray(xs), jnp.asarray(sl), h0,
+                scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
+            )
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     add_statistics_normalization(args, pipeline)
-    run_audio_training(args, model, pipeline, loss_fn, annealers=annealers, script_name="vrnn_audio")
+    run_audio_training(
+        args, model, pipeline, loss_fn, annealers=annealers, script_name="vrnn_audio", state_carry_eval=state_carry_eval
+    )
 
 
 if __name__ == "__main__":

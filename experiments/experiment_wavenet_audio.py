@@ -60,8 +60,29 @@ def main():
         )
         return loss, (mets, outputs)
 
+    # chunked eval with receptive-field overlap (no state — overlap replaces it;
+    # reference experiment_wavenet_audio.py split-eval via model.split_sequence)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def eval_chunk_first(params, rng, x, x_sl):
+        _, mets, _ = model.apply({"params": params}, x, x_sl, pad_receptive_field=True, rngs={"sample": rng})
+        return mets
+
+    @jax.jit
+    def eval_chunk_rest(params, rng, x, x_sl):
+        _, mets, _ = model.apply({"params": params}, x, x_sl, pad_receptive_field=False, rngs={"sample": rng})
+        return mets
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            fn = eval_chunk_first if i == 0 else eval_chunk_rest
+            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl))
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
-    run_audio_training(args, model, pipeline, loss_fn, script_name="wavenet_audio")
+    run_audio_training(args, model, pipeline, loss_fn, script_name="wavenet_audio", state_carry_eval=state_carry_eval)
 
 
 if __name__ == "__main__":

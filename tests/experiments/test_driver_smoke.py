@@ -102,6 +102,62 @@ class TestLSTMDriver:
         assert len(wavs) > 0
 
 
+class TestLSTMSplitEval:
+    def test_state_carry_split_eval(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_split"
+        argv = [
+            "experiment_lstm_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--stack_size", "8",
+            "--hidden_size", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+            "--split_eval", "true",
+            "--random_segment_size", "1024",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_lstm_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
+
+
+class TestVRNNDriver:
+    def test_end_to_end_with_annealers(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_vrnn"
+        argv = [
+            "experiment_vrnn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--stack_frames", "16",
+            "--hidden_size", "16",
+            "--latent_size", "4",
+            "--likelihood", "DMoL",
+            "--beta_anneal_steps", "10",
+            "--free_nats_steps", "10",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_vrnn_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert "elbo" in lines[0]["synthetic_test"]
+        assert lines[0]["synthetic_test"]["beta"] <= 1.0
+
+
 class TestDistributionBaseline:
     def test_runs(self, synthetic_dataset, monkeypatch, capsys):
         argv = [
