@@ -80,7 +80,12 @@ class CausalConv1d(nn.Module):
 
 
 class Conv1dResidualGLU(nn.Module):
-    """Dilated conv → gated tanh → 1×1 (res+skip) → scaled residual add."""
+    """Dilated conv → gated tanh → 1×1 (res+skip) → scaled residual add.
+
+    With ``use_pallas=True`` (and k=2, default gate width) the whole chain runs
+    as one fused Pallas kernel (``ops/pallas/wavenet_block.py``) — the (B,T,2C)
+    gate intermediate never touches HBM. Both paths share the same parameters.
+    """
 
     res_channels: int
     skip_channels: Optional[int] = None
@@ -88,16 +93,53 @@ class Conv1dResidualGLU(nn.Module):
     kernel_size: int = 2
     dilation: int = 1
     use_bias: bool = True
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, skip_size: int):
         skip_channels = self.skip_channels or self.res_channels
         gate_channels = self.gate_channels or 2 * self.res_channels
         inv_std = math.sqrt(0.5)
+        C_in = x.shape[-1]
 
-        pre_act = Conv1d(features=gate_channels, kernel_size=self.kernel_size, dilation=self.dilation)(x)
+        gate_kernel = self.param("gate_kernel", conv_kernel_init, (self.kernel_size, C_in, gate_channels))
+        gate_bias = self.param(
+            "gate_bias", conv_bias_init_for(self.kernel_size * C_in), (gate_channels,)
+        )
+        rs_kernel = self.param(
+            "rs_kernel", conv_kernel_init, (1, gate_channels // 2, self.res_channels + skip_channels)
+        )
+        rs_bias = (
+            self.param("rs_bias", conv_bias_init_for(gate_channels // 2), (self.res_channels + skip_channels,))
+            if self.use_bias
+            else jnp.zeros((self.res_channels + skip_channels,), x.dtype)
+        )
+
+        pallas_ok = (
+            self.use_pallas
+            and self.kernel_size == 2
+            and gate_channels == 2 * C_in
+            and C_in == self.res_channels
+        )
+        if pallas_ok:
+            from blvm_tpu.ops.pallas.wavenet_block import fused_residual_glu
+
+            o, s = fused_residual_glu(
+                x, gate_kernel, gate_bias, rs_kernel[0], rs_bias, self.dilation, 512, self.pallas_interpret
+            )
+            return o, s[:, -skip_size:]
+
+        pre_act = jax.lax.conv_general_dilated(
+            x,
+            gate_kernel,
+            window_strides=(1,),
+            padding="VALID",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + gate_bias
         act = gated_tanh_unit(pre_act, axis=-1)
-        rs = Conv1d(features=self.res_channels + skip_channels, kernel_size=1, use_bias=self.use_bias)(act)
+        rs = act @ rs_kernel[0] + rs_bias
         r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
 
         s = s[:, -skip_size:]  # keep only the (unpadded) output region
@@ -119,6 +161,7 @@ class ResidualStack(nn.Module):
     kernel_size: int = 2
     base_dilation: int = 2
     in_channels: Optional[int] = None
+    use_pallas: bool = False
 
     @staticmethod
     def build_dilations(n_layers: int, n_stacks: int, base_dilation: int) -> Sequence[int]:
@@ -148,6 +191,7 @@ class ResidualStack(nn.Module):
                 gate_channels=self.gate_channels,
                 kernel_size=self.kernel_size,
                 dilation=dilation,
+                use_pallas=self.use_pallas,
             )(o, skip_size)
             skips.append(s)
         return skips

@@ -55,6 +55,7 @@ class WaveNet(BaseModel):
     kernel_size: int = 2
     base_dilation: int = 2
     n_stack_frames: int = 1
+    use_pallas: bool = False
 
     def setup(self):
         if self.embedding_dim is not None and self.n_stack_frames > 1:
@@ -80,6 +81,7 @@ class WaveNet(BaseModel):
             gate_channels=self.gate_channels,
             kernel_size=self.kernel_size,
             base_dilation=self.base_dilation,
+            use_pallas=self.use_pallas,
         )
         self.receptive_field = self.res_stack.receptive_field + self.kernel_size - 1
 
