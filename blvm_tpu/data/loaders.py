@@ -42,7 +42,13 @@ class TextMetaData(MetaData):
 def _decode_pcm(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
     """Decode interleaved PCM bytes to float32 in [-1, 1], shape (channels, T)."""
     if sampwidth == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        from blvm_tpu import native
+
+        ints = np.frombuffer(raw, dtype="<i2")
+        if native.available():
+            data = native.decode_pcm16(ints)
+        else:
+            data = ints.astype(np.float32) / 32768.0
     elif sampwidth == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif sampwidth == 4:

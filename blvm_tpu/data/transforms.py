@@ -214,6 +214,10 @@ class MuLawEncode(Transform):
 
     def forward(self, x):
         x = np.asarray(x)
+        from blvm_tpu import native
+
+        if native.available() and x.dtype == np.float32:
+            return native.mu_law_encode(x, float(self.mu))
         return np.sign(x) * np.log1p(self.mu * np.abs(x)) / self._divisor
 
     def apply_jnp(self, x):
@@ -230,6 +234,10 @@ class MuLawDecode(Transform):
 
     def forward(self, x):
         x = np.asarray(x)
+        from blvm_tpu import native
+
+        if native.available() and x.dtype == np.float32:
+            return native.mu_law_decode(x, float(self.mu))
         return np.sign(x) * (np.exp(np.abs(x) * self._divisor) - 1.0) / self.mu
 
     def apply_jnp(self, x):
