@@ -34,13 +34,18 @@ def conv_bias_init_for(fan_in: int):
 
 
 class Conv1d(nn.Module):
-    """VALID 1-D conv over (B, T, C) with torch-calibrated init."""
+    """VALID 1-D conv over (B, T, C) with torch-calibrated init.
+
+    ``dtype`` is the compute dtype (bf16 feeds the MXU at double rate); params
+    are stored in f32 and cast at use (standard mixed-precision policy).
+    """
 
     features: int
     kernel_size: int = 1
     dilation: int = 1
     use_bias: bool = True
     feature_group_count: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -48,6 +53,9 @@ class Conv1d(nn.Module):
         kernel = self.param(
             "kernel", conv_kernel_init, (self.kernel_size, in_features // self.feature_group_count, self.features)
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -60,7 +68,7 @@ class Conv1d(nn.Module):
         if self.use_bias:
             fan_in = self.kernel_size * in_features // self.feature_group_count
             bias = self.param("bias", conv_bias_init_for(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -95,6 +103,7 @@ class Conv1dResidualGLU(nn.Module):
     use_bias: bool = True
     use_pallas: bool = False
     pallas_interpret: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, skip_size: int):
@@ -121,6 +130,7 @@ class Conv1dResidualGLU(nn.Module):
             and self.kernel_size == 2
             and gate_channels == 2 * C_in
             and C_in == self.res_channels
+            and self.dtype in (None, jnp.float32)
         )
         if pallas_ok:
             from blvm_tpu.ops.pallas.wavenet_block import fused_residual_glu
@@ -130,6 +140,10 @@ class Conv1dResidualGLU(nn.Module):
             )
             return o, s[:, -skip_size:]
 
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            gate_kernel = gate_kernel.astype(self.dtype)
+            rs_kernel = rs_kernel.astype(self.dtype)
         pre_act = jax.lax.conv_general_dilated(
             x,
             gate_kernel,
@@ -137,9 +151,9 @@ class Conv1dResidualGLU(nn.Module):
             padding="VALID",
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-        ) + gate_bias
+        ) + gate_bias.astype(x.dtype)
         act = gated_tanh_unit(pre_act, axis=-1)
-        rs = act @ rs_kernel[0] + rs_bias
+        rs = act @ rs_kernel[0] + rs_bias.astype(x.dtype)
         r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
 
         s = s[:, -skip_size:]  # keep only the (unpadded) output region
@@ -162,6 +176,8 @@ class ResidualStack(nn.Module):
     base_dilation: int = 2
     in_channels: Optional[int] = None
     use_pallas: bool = False
+    remat: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @staticmethod
     def build_dilations(n_layers: int, n_stacks: int, base_dilation: int) -> Sequence[int]:
@@ -182,17 +198,24 @@ class ResidualStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip_size: int):
-        o = x if self.in_channels is None else Conv1d(features=self.res_channels, kernel_size=1)(x)
+        o = x if self.in_channels is None else Conv1d(features=self.res_channels, kernel_size=1, dtype=self.dtype)(x)
         skips = []
         for dilation in self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation):
-            o, s = Conv1dResidualGLU(
+            block = Conv1dResidualGLU(
                 res_channels=self.res_channels,
                 skip_channels=self.skip_channels,
                 gate_channels=self.gate_channels,
                 kernel_size=self.kernel_size,
                 dilation=dilation,
                 use_pallas=self.use_pallas,
-            )(o, skip_size)
+                dtype=self.dtype,
+            )
+            if self.remat:
+                # remat the call, not the class — parameter paths stay identical
+                # so checkpoints transfer between remat settings
+                o, s = nn.remat(lambda mdl, o_: mdl(o_, skip_size))(block, o)
+            else:
+                o, s = block(o, skip_size)
             skips.append(s)
         return skips
 

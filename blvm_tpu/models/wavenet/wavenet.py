@@ -56,6 +56,8 @@ class WaveNet(BaseModel):
     base_dilation: int = 2
     n_stack_frames: int = 1
     use_pallas: bool = False
+    remat: bool = False
+    bf16: bool = False
 
     def setup(self):
         if self.embedding_dim is not None and self.n_stack_frames > 1:
@@ -82,6 +84,8 @@ class WaveNet(BaseModel):
             kernel_size=self.kernel_size,
             base_dilation=self.base_dilation,
             use_pallas=self.use_pallas,
+            remat=self.remat,
+            dtype=jnp.bfloat16 if self.bf16 else None,
         )
         self.receptive_field = self.res_stack.receptive_field + self.kernel_size - 1
 
@@ -105,7 +109,8 @@ class WaveNet(BaseModel):
         """Causal conv → residual stack → scaled skip sum → pointwise head."""
         output = self.causal(x, pad_causal=pad_causal)
         skip_connections = self.res_stack(output, skip_size)
-        summed = sum(skip_connections) * self.variance_scale
+        # skip sum and the output head in f32 (likelihood parity surface)
+        summed = sum(s.astype(jnp.float32) for s in skip_connections) * self.variance_scale
         logits = self.out_transform(summed)
         return logits, skip_connections
 
