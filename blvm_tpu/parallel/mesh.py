@@ -72,6 +72,18 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_examples_by_process(examples, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Per-host shard of a file/example list for multi-host data loading.
+
+    Each host loads a disjoint strided slice; with ``jax.distributed.initialize``
+    this is the whole multi-host input pipeline (SURVEY §5.8: per-host sharded
+    file lists; DCN handled transparently by JAX).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return examples[pi::pc]
+
+
 def pad_batch_to_devices(x: np.ndarray, sl: np.ndarray, n_devices: int):
     """Right-pad the batch axis with zero-length rows to a multiple of n_devices."""
     B = x.shape[0]

@@ -28,6 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     setup_group.add_argument("--save_checkpoints", type=str2bool, default=False)
     setup_group.add_argument("--test_every", type=int, default=10, help="test every number of epochs")
     setup_group.add_argument("--run_dir", type=str, default=None, help="output directory (checkpoints, metrics.jsonl)")
+    setup_group.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace dir (first epoch)")
 
     data_group = parser.add_argument_group("data")
     data_group.add_argument("--dataset", type=str, default=None, choices=list(DATASETS.keys()))

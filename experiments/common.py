@@ -197,6 +197,12 @@ def run_audio_training(
     eval_key = jax.random.PRNGKey(args.seed + 1)
     build_metrics = model.build_metrics
 
+    # optional device profiling of the first training epoch (SURVEY §5.1:
+    # tracker step telemetry + jax.profiler trace hooks)
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     for epoch in tracker.epochs(args.epochs):
         # ------------------------------------------------------------- training
         for (x, x_sl), metadata in tracker.steps(pipeline.train_loader, source=dataset.train):
@@ -248,9 +254,15 @@ def run_audio_training(
                     step=int(state.step),
                 )
 
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            profile_dir = None
+
         current_lr = lr(int(state.step)) if callable(lr) else lr
         tracker.log(learning_rate=float(current_lr), **extra)
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     return state, tracker
 
 
