@@ -21,7 +21,7 @@ jit-safe dict of arrays and each model provides ``build_metrics(mets)``
 import dataclasses
 import json
 import os
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -101,6 +101,50 @@ class BaseModel(nn.Module):
     @staticmethod
     def build_metrics(mets: dict):
         raise NotImplementedError
+
+    def summary(self, params=None, depth: int = 3) -> str:
+        """Layer table with parameter shapes and counts (role of reference
+        ``base_model.py:113-141``/torchinfo). Uses abstract init — no FLOPs
+        are spent building the table."""
+        if params is None:
+            args, rngs = self.example_inputs()
+            variables = jax.eval_shape(
+                lambda: self.init(
+                    {"params": jax.random.PRNGKey(0), **{k: jax.random.PRNGKey(0) for k in rngs}}, *args
+                )
+            )
+            params = variables["params"]
+
+        rows = []
+
+        def walk(tree, path):
+            if hasattr(tree, "shape"):
+                rows.append(("/".join(path), tuple(tree.shape), int_prod(tree.shape)))
+                return
+            for key in sorted(tree.keys()):
+                walk(tree[key], path + [key])
+
+        def int_prod(shape):
+            out = 1
+            for s in shape:
+                out *= int(s)
+            return out
+
+        walk(params, [])
+        # collapse below `depth` path segments
+        collapsed = {}
+        for path, shape, count in rows:
+            parts = path.split("/")
+            key = "/".join(parts[:depth])
+            if key not in collapsed:
+                collapsed[key] = [0, shape]
+            collapsed[key][0] += count
+
+        width = max((len(k) for k in collapsed), default=10) + 2
+        lines = [f"{self.__class__.__name__} — {sum(c for c, _ in collapsed.values()):,} parameters"]
+        for key, (count, shape) in collapsed.items():
+            lines.append(f"  {key:<{width}} {count:>12,}")
+        return "\n".join(lines)
 
 
 def load_model(path: str, model_class_name: str = None):

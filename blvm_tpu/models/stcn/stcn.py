@@ -328,7 +328,13 @@ class STCN(BaseModel):
         return self(x, x_sl, y=y, pad_receptive_field=(i_split == 0))
 
     def example_inputs(self):
-        T = (self.receptive_field + 8) * self.n_stack_frames
+        n_stacks = len(self.latent_size) if self.n_stacks is None else self.n_stacks
+        rf = (
+            ResidualStack.compute_receptive_fields(self.n_layers, n_stacks, self.kernel_size, self.base_dilation)[-1]
+            + self.kernel_size
+            - 1
+        )
+        T = (rf + 8) * self.n_stack_frames
         return (jnp.zeros((1, T), jnp.float32), jnp.full((1,), T, jnp.int32)), {"sample": None}
 
 

@@ -246,7 +246,15 @@ class WaveNet(BaseModel):
         return preds
 
     def example_inputs(self):
-        T = self.receptive_field + 8
+        # receptive field from static config (setup attrs are unavailable here)
+        rf = (
+            ResidualStack.compute_receptive_fields(
+                self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation
+            )[-1]
+            + self.kernel_size
+            - 1
+        )
+        T = rf + 8
         x = jnp.zeros((1, T * self.n_stack_frames), jnp.float32)
         x_sl = jnp.full((1,), T * self.n_stack_frames, jnp.int32)
         return (x, x_sl), {"sample": None}

@@ -16,8 +16,14 @@ over (batch, time tiles).
 
 Training uses :func:`fused_residual_glu` with a custom VJP whose backward
 recomputes through the pure-jnp reference (rematerialisation: forward-speed
-win without a hand-written backward kernel). Opt-in at the model level —
-default off until profiled per shape.
+win without a hand-written backward kernel).
+
+Measured on v5e (B=8, T=16k, C=96, d=64): bit-exact vs XLA, but 2.18 ms vs
+XLA's 1.25 ms — XLA already fuses gate+1×1 into the conv here and the kernel
+pays a double input read (the two dilation-shifted views materialize). The
+winning design is fusing a whole 10-layer stack with halo tiles so the
+residual stream stays in VMEM across layers; until that lands this kernel
+stays opt-in (``use_pallas=False`` by default).
 """
 
 import math
