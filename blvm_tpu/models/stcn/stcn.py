@@ -92,9 +92,6 @@ class STCN(BaseModel):
             kernel_size=self.kernel_size,
             base_dilation=self.base_dilation,
         )
-        rfs = ResidualStack.compute_receptive_fields(self.n_layers, n_stacks, self.kernel_size, self.base_dilation)
-        self.receptive_fields = [rf + self.kernel_size - 1 for rf in rfs]
-        self.receptive_field = self.receptive_fields[-1]
 
         # priors/posteriors per latent, conditioned on the level above (top-down)
         # or below (bottom-up)
@@ -126,6 +123,16 @@ class STCN(BaseModel):
 
         self.likelihood_module = self._make_likelihood()
         self.out_upsample = _UpsampleHead(out_features=self._likelihood_out_features() * self.n_stack_frames)
+
+    @property
+    def receptive_fields(self):
+        n_stacks = len(self.latent_size) if self.n_stacks is None else self.n_stacks
+        rfs = ResidualStack.compute_receptive_fields(self.n_layers, n_stacks, self.kernel_size, self.base_dilation)
+        return [rf + self.kernel_size - 1 for rf in rfs]
+
+    @property
+    def receptive_field(self) -> int:
+        return self.receptive_fields[-1]
 
     def _make_likelihood(self):
         num_mix = 10
@@ -328,13 +335,7 @@ class STCN(BaseModel):
         return self(x, x_sl, y=y, pad_receptive_field=(i_split == 0))
 
     def example_inputs(self):
-        n_stacks = len(self.latent_size) if self.n_stacks is None else self.n_stacks
-        rf = (
-            ResidualStack.compute_receptive_fields(self.n_layers, n_stacks, self.kernel_size, self.base_dilation)[-1]
-            + self.kernel_size
-            - 1
-        )
-        T = (rf + 8) * self.n_stack_frames
+        T = (self.receptive_field + 8) * self.n_stack_frames
         return (jnp.zeros((1, T), jnp.float32), jnp.full((1,), T, jnp.int32)), {"sample": None}
 
 

@@ -87,13 +87,23 @@ class WaveNet(BaseModel):
             remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else None,
         )
-        self.receptive_field = self.res_stack.receptive_field + self.kernel_size - 1
 
         self.out_transform = PointwiseTransform(self.res_channels * self.n_stack_frames)
 
         y_dim = self.in_channels * self.n_stack_frames if self.n_stack_frames > 1 else self.in_channels
         self.likelihood_head = get_likelihood_head(
             self.likelihood, y_dim=1, num_mix=self.num_mix, num_bins=self.num_bins
+        )
+
+    @property
+    def receptive_field(self) -> int:
+        """Static (config-derived) so it is usable outside init/apply too."""
+        return (
+            ResidualStack.compute_receptive_fields(
+                self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation
+            )[-1]
+            + self.kernel_size
+            - 1
         )
 
     def compute_loss(self, y, x_sl, parameters):
@@ -246,15 +256,7 @@ class WaveNet(BaseModel):
         return preds
 
     def example_inputs(self):
-        # receptive field from static config (setup attrs are unavailable here)
-        rf = (
-            ResidualStack.compute_receptive_fields(
-                self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation
-            )[-1]
-            + self.kernel_size
-            - 1
-        )
-        T = rf + 8
+        T = self.receptive_field + 8
         x = jnp.zeros((1, T * self.n_stack_frames), jnp.float32)
         x_sl = jnp.full((1,), T * self.n_stack_frames, jnp.int32)
         return (x, x_sl), {"sample": None}

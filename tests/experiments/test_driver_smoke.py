@@ -158,6 +158,62 @@ class TestVRNNDriver:
         assert lines[0]["synthetic_test"]["beta"] <= 1.0
 
 
+class TestWaveNetDriver:
+    def test_split_eval(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_wavenet"
+        argv = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "3",
+            "--n_stacks", "2",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+            "--split_eval", "true",
+            "--random_segment_size", "1024",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
+
+
+class TestClockworkDriver:
+    def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_cw"
+        argv = [
+            "experiment_clockwork_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--hidden_size", "16",
+            "--latent_size", "8",
+            "--strides", "16", "4",
+            "--num_level_layers", "2",
+            "--stride_per_layer", "4",
+            "--beta_anneal_steps", "10",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_clockwork_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert "elbo (bpt)" in lines[0]["synthetic_test"]
+
+
 class TestDistributionBaseline:
     def test_runs(self, synthetic_dataset, monkeypatch, capsys):
         argv = [
