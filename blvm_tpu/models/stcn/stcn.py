@@ -77,6 +77,8 @@ class STCN(BaseModel):
     precision_posterior: bool = True
     dense: bool = True
     top_down: bool = True
+    remat: bool = False
+    bf16: bool = False
 
     def setup(self):
         n_latents = len(self.latent_size)
@@ -84,6 +86,7 @@ class STCN(BaseModel):
         self._n_latents = n_latents
         self._n_stacks = n_stacks
 
+        dtype = jnp.bfloat16 if self.bf16 else None
         self.causal = CausalConv1d(features=self.res_channels, kernel_size=self.kernel_size)
         self.res_stack = ResidualStack(
             n_layers=self.n_layers,
@@ -91,6 +94,8 @@ class STCN(BaseModel):
             res_channels=self.res_channels,
             kernel_size=self.kernel_size,
             base_dilation=self.base_dilation,
+            remat=self.remat,
+            dtype=dtype,
         )
 
         # priors/posteriors per latent, conditioned on the level above (top-down)
@@ -236,6 +241,7 @@ class STCN(BaseModel):
 
         output = self.causal(x, pad_causal=False)
         skip_connections = self.res_stack(output, skip_size=T + 1)  # each (B, T+1, C)
+        skip_connections = [s_.astype(jnp.float32) for s_ in skip_connections]  # latent math in f32
 
         mu_p, sd_p, mu_q, sd_q, z = self.infer(skip_connections)
 

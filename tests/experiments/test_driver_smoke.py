@@ -214,6 +214,58 @@ class TestClockworkDriver:
         assert "elbo (bpt)" in lines[0]["synthetic_test"]
 
 
+class TestSRNNDriver:
+    def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_srnn"
+        argv = [
+            "experiment_srnn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--stack_frames", "16",
+            "--hidden_size", "16",
+            "--latent_size", "4",
+            "--likelihood", "DMoL",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_srnn_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert "elbo" in lines[0]["synthetic_test"]
+
+
+class TestSTCNDriver:
+    def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
+        run_dir = tmp_path / "run_stcn"
+        argv = [
+            "experiment_stcn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--num_layers", "2",
+            "--latent_size", "8", "4",
+            "--hidden_size", "16",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_stcn_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert "elbo (bpx)" in lines[0]["synthetic_test"]
+        assert "kl_0 (bpz)" in lines[0]["synthetic_test"]
+
+
 class TestDistributionBaseline:
     def test_runs(self, synthetic_dataset, monkeypatch, capsys):
         argv = [
