@@ -23,6 +23,13 @@ model scales by variance_scale and feeds the head); per-layer ``z`` probe
 outputs are not produced — use the unfused path when dumping representations.
 
 Backward: custom VJP recomputing through the jnp reference (rematerialised).
+
+STATUS: EXPERIMENTAL. Interpret-mode (CPU) tests pass bit-exactly including
+gradients and module parity, but on the v5e axon backend the compiled kernel
+currently hangs the device at launch (manual HBM→VMEM DMA path under a 2-D
+grid) — do not enable on hardware until the DMA handshake is debugged with an
+incremental on-device harness. The validated on-device Pallas path is the
+single-block kernel in ``wavenet_block.py``.
 """
 
 import math

@@ -137,6 +137,7 @@ def run_audio_training(
     best_metric_name: str = "loss",
     script_name: str = "experiment",
     state_carry_eval: Optional[Callable] = None,
+    post_eval_hook: Optional[Callable] = None,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -233,6 +234,9 @@ def run_audio_training(
             # log audio reconstructions from the final eval batch
             if outputs is not None:
                 _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
+
+            if post_eval_hook is not None:
+                post_eval_hook(state, epoch, run_dir, pipeline)
 
             # conditional best-checkpoint save (reference gating semantics)
             if (

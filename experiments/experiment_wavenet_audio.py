@@ -81,8 +81,35 @@ def main():
             mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl))
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
 
+    # ancestral sampling every N test epochs (reference --generate_every)
+    import numpy as np
+    from blvm_tpu.utils.audio import save_wav
+
+    gen_jit = None
+
+    def post_eval_hook(state, epoch, run_dir, pipeline):
+        nonlocal gen_jit
+        if args.generate_every <= 0 or epoch % args.generate_every != 0:
+            return
+        if gen_jit is None:
+            gen_jit = jax.jit(
+                lambda params, key: model.apply(
+                    {"params": params}, n_samples=2, n_frames=16000, rngs={"sample": key},
+                    method=type(model).generate,
+                )
+            )
+        samples = gen_jit(state.params, jax.random.PRNGKey(epoch))
+        samples = pipeline.decode_transform(np.asarray(jax.device_get(samples)))
+        audio_dir = run_dir / "audio"
+        audio_dir.mkdir(exist_ok=True)
+        for i in range(samples.shape[0]):
+            save_wav(audio_dir / f"epoch{epoch:04d}_generated_{i}.wav", samples[i])
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
-    run_audio_training(args, model, pipeline, loss_fn, script_name="wavenet_audio", state_carry_eval=state_carry_eval)
+    run_audio_training(
+        args, model, pipeline, loss_fn, script_name="wavenet_audio",
+        state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
+    )
 
 
 if __name__ == "__main__":
