@@ -7,8 +7,6 @@ batches in flight to HBM — double-buffered host→device transfer so the TPU
 never waits on input (SURVEY §2.8 "async data loading").
 """
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Optional
 

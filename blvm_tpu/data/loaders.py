@@ -8,7 +8,6 @@ Loaders support memoization and batch-file caching exactly as the reference
 """
 
 import os
-import struct
 import uuid
 import wave
 from dataclasses import dataclass

@@ -15,7 +15,6 @@ Transposed convs are expressed as input-dilated ``conv_general_dilated`` calls
 out_len = (T-1)*stride + d*(k-1) + 1.
 """
 
-import math
 from typing import List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn

@@ -10,7 +10,6 @@ from types import SimpleNamespace
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

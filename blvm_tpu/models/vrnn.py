@@ -35,8 +35,8 @@ from blvm_tpu.modules.distributions import (
     DiscretizedLogisticMixtureDense,
 )
 from blvm_tpu.modules.recurrent import GRUCell
-from blvm_tpu.ops.sequence import sequence_mask, stack_tensor
-from blvm_tpu.ops.variational import discount_free_nats, kl_divergence_gaussian, rsample_gaussian
+from blvm_tpu.ops.sequence import stack_tensor
+from blvm_tpu.ops.variational import kl_divergence_gaussian, rsample_gaussian
 
 
 def _leaky_relu(v):

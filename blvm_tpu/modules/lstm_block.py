@@ -7,8 +7,6 @@ variational (fixed-over-time) or standard dropout. Batch-first (B, T, D) —
 packed sequences are replaced by masking.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

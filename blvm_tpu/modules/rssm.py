@@ -6,7 +6,7 @@ on ``ReLU(Linear([z, context]))``, 3-layer MLP prior and posterior heads
 posterior. Sampling takes an explicit PRNG key.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

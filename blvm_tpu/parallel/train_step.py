@@ -11,7 +11,6 @@ Models follow the contract ``apply({'params': p}, batch..., rngs=...) ->
 (loss, mets, outputs)`` where ``mets`` is a dict of jit-safe arrays.
 """
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

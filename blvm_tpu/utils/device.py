@@ -6,7 +6,6 @@ selection is unnecessary on TPU (one process owns the slice), but the scheduler
 still uses :func:`visible_device_count` to decide process-level parallelism.
 """
 
-import os
 from typing import Any, Optional
 
 import jax
