@@ -86,8 +86,8 @@ class LengthTrainSampler:
 
         if batch_len:
             self.batch_len = parse_max_len(batch_len, self.lengths.tolist())
-        else:
-            raise NotImplementedError("`batch_size` is not yet implemented.")
+        # (the reference raises NotImplementedError for batch_size mode —
+        # implemented here: fixed-count batches drawn from the length pools)
 
         self.pools = self.create_sample_pools(max_pool_difference, min_pool_size)
         self.sample_batches()
@@ -129,20 +129,28 @@ class LengthTrainSampler:
 
         ordered_idxs = np.concatenate([self._rng.sample(p, k=len(p)) for p in self.pools])
 
-        batch, batches, batch_len = [], [], 0
-        for idx in ordered_idxs:
-            l = self.lengths[idx]
-            if batch_len + l <= self.batch_len:
-                batch_len += l
-                batch.append(int(idx))
-            else:
+        if self.batch_size:
+            # fixed-count batches from the length pools (still length-grouped)
+            idxs = [int(i) for i in ordered_idxs]
+            batches = [idxs[i : i + self.batch_size] for i in range(0, len(idxs), self.batch_size)]
+            if self.drop_last and len(batches) > 1 and len(batches[-1]) < self.batch_size:
+                batches = batches[:-1]
+        else:
+            batch, batches, batch_len = [], [], 0
+            for idx in ordered_idxs:
+                l = self.lengths[idx]
+                if batch_len + l <= self.batch_len:
+                    batch_len += l
+                    batch.append(int(idx))
+                else:
+                    batches.append(batch)
+                    batch = [int(idx)]
+                    batch_len = l
+            if batch and not (self.drop_last and batch_len < self.batch_len and batches):
+                # keep the final partial batch; never drop it if it is the only
+                # one (the reference crashes on tiny datasets here —
+                # length_samplers.py:161)
                 batches.append(batch)
-                batch = [int(idx)]
-                batch_len = l
-        if batch and not (self.drop_last and batch_len < self.batch_len and batches):
-            # keep the final partial batch; never drop it if it is the only one
-            # (the reference crashes on tiny datasets here — length_samplers.py:161)
-            batches.append(batch)
 
         if self.shuffle:
             self._rng.shuffle(batches)

@@ -129,6 +129,20 @@ class TestLengthTrainSampler:
         s = LengthTrainSampler(lengths, batch_len=4000, min_pool_size=16, num_batches=5, seed=0)
         assert len(s.batches) == 5
 
+    def test_batch_size_mode(self):
+        lengths = self._lengths()
+        s = LengthTrainSampler(lengths, batch_size=16, min_pool_size=16, drop_last=False, seed=0)
+        seen = sorted(i for b in s.batches for i in b)
+        assert seen == list(range(len(lengths)))
+        # all full batches except one remainder (longest_first may reorder)
+        sizes = sorted(len(b) for b in s.batches)
+        assert sizes[1:] == [16] * (len(sizes) - 1) and sizes[0] == len(lengths) % 16
+
+    def test_batch_size_drop_last(self):
+        lengths = self._lengths(n=100)
+        s = LengthTrainSampler(lengths, batch_size=16, min_pool_size=16, drop_last=True, seed=0)
+        assert all(len(b) == 16 for b in s.batches)
+
 
 class TestLengthEvalSampler:
     def test_deterministic_and_complete(self):
