@@ -34,10 +34,12 @@ class LSTMAudio(BaseModel):
     dropout: float = 0.0
     num_mix: int = 10
     num_bins: int = 256
+    bf16: bool = False
 
     def setup(self):
-        self.embedding = MLP([self.hidden_size] * 3, activation=nn.relu, activate_final=True)
-        self.lstm = LSTM(hidden_size=self.hidden_size, num_layers=self.num_layers, dropout=self.dropout)
+        dtype = jnp.bfloat16 if self.bf16 else None
+        self.embedding = MLP([self.hidden_size] * 3, activation=nn.relu, activate_final=True, dtype=dtype)
+        self.lstm = LSTM(hidden_size=self.hidden_size, num_layers=self.num_layers, dropout=self.dropout, dtype=dtype)
         self.decoder = MLP(
             [self.hidden_size, self.hidden_size, 3 * self.num_mix * self.stack_size],
             activation=nn.relu,
@@ -71,6 +73,7 @@ class LSTMAudio(BaseModel):
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout, h.shape)
             h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
 
+        h = h.astype(jnp.float32)  # likelihood surface stays f32
         o = self.decoder(h)  # (B, T'-1, 3*M*S)
         o = o.reshape(B, (T_stack - 1) * self.stack_size, 3 * self.num_mix)
 

@@ -56,17 +56,22 @@ class LSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None, initial_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None, deterministic: bool = True):
         B, T = x.shape[0], x.shape[1]
         H = self.hidden_size
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         if initial_state is None:
             h_0 = jnp.zeros((self.num_layers, B, H), x.dtype)
             c_0 = jnp.zeros((self.num_layers, B, H), x.dtype)
         else:
             h_0, c_0 = initial_state
+            h_0 = h_0.astype(x.dtype)
+            c_0 = c_0.astype(x.dtype)
 
         if mask is None:
             mask_t = jnp.ones((T, B, 1), x.dtype)
@@ -82,6 +87,9 @@ class LSTM(nn.Module):
             b_ih = self.param(f"b_ih_{layer}", init, (4 * H,))
             w_hh = self.param(f"w_hh_{layer}", init, (H, 4 * H))
             b_hh = self.param(f"b_hh_{layer}", init, (4 * H,))
+            if self.dtype is not None:
+                w_ih, b_ih = w_ih.astype(self.dtype), b_ih.astype(self.dtype)
+                w_hh, b_hh = w_hh.astype(self.dtype), b_hh.astype(self.dtype)
 
             # time-parallel input projection: one (B*T, D) @ (D, 4H) matmul
             xw = layer_in @ w_ih + b_ih  # (B, T, 4H)
