@@ -9,12 +9,9 @@ factors that structure once, TPU-style:
     with batch sharding (one compiled executable per bucket shape);
   * schedule scalars (beta, free nats, lr) enter the jitted step as traced
     values — annealing never recompiles;
-  * metric fetches are delayed by one step so the device never idles waiting
-    for the host.
+  * loader threads keep the next batch ready while the device runs the step.
 """
 
-import os
-import sys
 import time
 from pathlib import Path
 from types import SimpleNamespace

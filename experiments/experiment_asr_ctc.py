@@ -7,7 +7,6 @@ WER/CER, best-WER checkpoint gating.
 """
 
 import os
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
