@@ -50,6 +50,7 @@ def main():
         dropout=args.dropout,
         num_mix=args.num_mix,
         num_bins=2**args.num_bits,
+        bf16=args.bf16,  # note: measured slower than f32 for the scan core on v5e
     )
 
     def loss_fn(params, rng, batch, scalars):

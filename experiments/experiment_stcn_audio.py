@@ -57,6 +57,7 @@ def run(args):
         precision_posterior=args.precision_posterior,
         dense=args.dense,
         top_down=args.top_down,
+        bf16=args.bf16,
     )
 
     annealers = dict(

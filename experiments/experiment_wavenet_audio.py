@@ -52,6 +52,7 @@ def main():
         kernel_size=args.kernel_size,
         base_dilation=args.base_dilation,
         n_stack_frames=args.n_stack_frames,
+        bf16=args.bf16,
     )
 
     def loss_fn(params, rng, batch, scalars):
