@@ -181,24 +181,123 @@ def _forward_kernel(x, WG, BG, W1, B1, dilations, t_tile: int, interpret: bool):
     return res[..., :C], skip[..., :C]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_residual_stack(x, WG, BG, W1, B1, dilations: Tuple[int, ...], t_tile: int = 2048, interpret: bool = False):
-    """Fused multi-layer stack; differentiable (backward recomputes via jnp)."""
-    return _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret)
+def _windowed_kernel(
+    xw_ref, wga_ref, wgb_ref, bga_ref, bgb_ref, w1r_ref, w1s_ref, b1r_ref, b1s_ref,
+    res_ref, skip_ref, *, dilations, t_tile, halo,
+):
+    """DMA-free variant: the caller pre-gathers halo'd windows, so the input
+    block is a plain (1, 1, t+halo, Cp) VMEM tile."""
+    h = xw_ref[0, 0]  # (t_tile + halo, Cp)
+    skip_sum = jnp.zeros((t_tile, h.shape[-1]), jnp.float32)
+
+    cur_len = t_tile + halo
+    for l, d in enumerate(dilations):
+        out_len = cur_len - d
+        h_old = h[:out_len]
+        h_new = h[d:cur_len]
+        pre_a = (
+            jnp.dot(h_old, wga_ref[l, 0], preferred_element_type=jnp.float32)
+            + jnp.dot(h_new, wga_ref[l, 1], preferred_element_type=jnp.float32)
+            + bga_ref[l]
+        )
+        pre_b = (
+            jnp.dot(h_old, wgb_ref[l, 0], preferred_element_type=jnp.float32)
+            + jnp.dot(h_new, wgb_ref[l, 1], preferred_element_type=jnp.float32)
+            + bgb_ref[l]
+        )
+        act = jnp.tanh(pre_a) * jax.nn.sigmoid(pre_b)
+        r = jnp.dot(act, w1r_ref[l], preferred_element_type=jnp.float32) + b1r_ref[l]
+        s = jnp.dot(act, w1s_ref[l], preferred_element_type=jnp.float32) + b1s_ref[l]
+        h = (r + h_new) * INV_STD
+        skip_sum = skip_sum + s[out_len - t_tile : out_len]
+        cur_len = out_len
+
+    res_ref[0] = h[:t_tile].astype(res_ref.dtype)
+    skip_ref[0] = skip_sum.astype(skip_ref.dtype)
 
 
-def _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret):
+def _forward_windowed(x, WG, BG, W1, B1, dilations, t_tile: int, interpret: bool):
+    """Pre-gather overlapping windows outside the kernel (≈1.5× input reads but
+    no manual DMA — the path that wedges the axon backend)."""
+    B, T_in, C = x.shape
+    halo = sum(dilations)
+    T_out = T_in - halo
+    L = WG.shape[0]
+    Cp = -(-C // LANE) * LANE
+
+    t = min(t_tile, T_out)
+    if T_out % t != 0:
+        t = math.gcd(T_out, t)
+    n_tiles = T_out // t
+    grid = (B, n_tiles)
+
+    xp = _pad_lane(x, 2)
+    # (B, n_tiles, t + halo, Cp) halo'd windows
+    xw = jnp.stack([xp[:, i * t : i * t + t + halo] for i in range(n_tiles)], axis=1)
+
+    wga = _pad_lane(_pad_lane(WG[:, :, :, :C], 3), 2)
+    wgb = _pad_lane(_pad_lane(WG[:, :, :, C:], 3), 2)
+    bga = _pad_lane(BG[:, :C], 1)
+    bgb = _pad_lane(BG[:, C:], 1)
+    w1r = _pad_lane(_pad_lane(W1[:, :, :C], 2), 1)
+    w1s = _pad_lane(_pad_lane(W1[:, :, C:], 2), 1)
+    b1r = _pad_lane(B1[:, :C], 1)
+    b1s = _pad_lane(B1[:, C:], 1)
+
+    vmem = {} if (not _HAS_PLTPU or interpret) else dict(memory_space=pltpu.VMEM)
+
+    res, skip = pl.pallas_call(
+        partial(_windowed_kernel, dilations=tuple(dilations), t_tile=t, halo=halo),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, t + halo, Cp), lambda b, i: (b, i, 0, 0), **vmem),
+            pl.BlockSpec((L, 2, Cp, Cp), lambda b, i: (0, 0, 0, 0), **vmem),
+            pl.BlockSpec((L, 2, Cp, Cp), lambda b, i: (0, 0, 0, 0), **vmem),
+            pl.BlockSpec((L, Cp), lambda b, i: (0, 0), **vmem),
+            pl.BlockSpec((L, Cp), lambda b, i: (0, 0), **vmem),
+            pl.BlockSpec((L, Cp, Cp), lambda b, i: (0, 0, 0), **vmem),
+            pl.BlockSpec((L, Cp, Cp), lambda b, i: (0, 0, 0), **vmem),
+            pl.BlockSpec((L, Cp), lambda b, i: (0, 0), **vmem),
+            pl.BlockSpec((L, Cp), lambda b, i: (0, 0), **vmem),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, Cp), lambda b, i: (b, i, 0), **vmem),
+            pl.BlockSpec((1, t, Cp), lambda b, i: (b, i, 0), **vmem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T_out, Cp), x.dtype),
+            jax.ShapeDtypeStruct((B, T_out, Cp), x.dtype),
+        ),
+        interpret=interpret,
+    )(xw, wga, wgb, bga, bgb, w1r, w1s, b1r, b1s)
+    return res[..., :C], skip[..., :C]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_residual_stack(
+    x, WG, BG, W1, B1, dilations: Tuple[int, ...], t_tile: int = 2048, interpret: bool = False, mode: str = "windowed"
+):
+    """Fused multi-layer stack; differentiable (backward recomputes via jnp).
+
+    ``mode='windowed'`` (default) pre-gathers halo windows (no manual DMA);
+    ``mode='dma'`` is the lower-traffic manual-DMA variant (hangs on axon)."""
+    return _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret, mode)
+
+
+def _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret, mode="windowed"):
     halo = sum(dilations)
     if x.shape[1] - halo <= 0:
         return fused_residual_stack_reference(x, WG, BG, W1, B1, dilations)
-    return _forward_kernel(x, WG, BG, W1, B1, dilations, t_tile, interpret)
+    if mode == "dma":
+        return _forward_kernel(x, WG, BG, W1, B1, dilations, t_tile, interpret)
+    return _forward_windowed(x, WG, BG, W1, B1, dilations, t_tile, interpret)
 
 
-def _fwd(x, WG, BG, W1, B1, dilations, t_tile, interpret):
-    return _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret), (x, WG, BG, W1, B1)
+def _fwd(x, WG, BG, W1, B1, dilations, t_tile, interpret, mode):
+    return _fwd_impl(x, WG, BG, W1, B1, dilations, t_tile, interpret, mode), (x, WG, BG, W1, B1)
 
 
-def _bwd(dilations, t_tile, interpret, residuals, cotangents):
+def _bwd(dilations, t_tile, interpret, mode, residuals, cotangents):
     x, WG, BG, W1, B1 = residuals
     _, vjp = jax.vjp(lambda *a: fused_residual_stack_reference(*a, dilations=dilations), x, WG, BG, W1, B1)
     return vjp(cotangents)

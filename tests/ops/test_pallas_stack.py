@@ -27,6 +27,8 @@ class TestFusedStack:
         r_ref, s_ref = fused_residual_stack_reference(x, WG, BG, W1, B1, dilations)
         r_k, s_k = fused_residual_stack(x, WG, BG, W1, B1, dilations, 16, True)
         np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref), atol=1e-5)
+        r_k, s_k = fused_residual_stack(x, WG, BG, W1, B1, dilations, 16, True, "dma")
+        np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref), atol=1e-5)
 
     def test_matches_residual_stack_module(self):
@@ -72,4 +74,6 @@ class TestFusedStack:
         x, WG, BG, W1, B1, dilations = make_inputs(T_out=36)
         r_ref, s_ref = fused_residual_stack_reference(x, WG, BG, W1, B1, dilations)
         r_k, s_k = fused_residual_stack(x, WG, BG, W1, B1, dilations, 16, True)
+        np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref), atol=1e-5)
+        r_k, s_k = fused_residual_stack(x, WG, BG, W1, B1, dilations, 16, True, "dma")
         np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref), atol=1e-5)
