@@ -12,4 +12,8 @@ from blvm_tpu.modules.distributions import (
     get_likelihood_head,
 )
 from blvm_tpu.modules.activations import GatedTanhUnit, gated_tanh_unit
-from blvm_tpu.modules.dropout import WordDropout
+from blvm_tpu.modules.convenience import AddConstant, Permute, View
+from blvm_tpu.modules.dropout import TemporalDropout, WordDropout
+from blvm_tpu.modules.lstm_block import LSTMBlock
+from blvm_tpu.modules.recurrent import GRU, GRUCell, LSTM
+from blvm_tpu.modules.rssm import RSSMCell

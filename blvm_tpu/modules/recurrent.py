@@ -32,19 +32,6 @@ def _rnn_uniform_init(hidden_size: int):
     return init
 
 
-class LSTMCellParams(nn.Module):
-    """Parameters of one LSTM layer (input proj handled separately)."""
-
-    hidden_size: int
-
-    @nn.compact
-    def __call__(self):
-        init = _rnn_uniform_init(self.hidden_size)
-        w_hh = self.param("w_hh", init, (self.hidden_size, 4 * self.hidden_size))
-        b_hh = self.param("b_hh", init, (4 * self.hidden_size,))
-        return w_hh, b_hh
-
-
 class LSTM(nn.Module):
     """Stacked unidirectional LSTM over (B, T, D) with per-example lengths.
 
