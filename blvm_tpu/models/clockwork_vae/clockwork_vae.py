@@ -135,8 +135,8 @@ class CWVAE(nn.Module):
             enc_t, ctx_t, reset_t = xs
             z, h = carry
             if mdl.with_resets and l < mdl.num_levels - 1:
-                z = jnp.where(reset_t, jnp.zeros_like(z), z)
-                h = jnp.where(reset_t, jnp.zeros_like(h), h)
+                z = jnp.where(reset_t[:, None], jnp.zeros_like(z), z)
+                h = jnp.where(reset_t[:, None], jnp.zeros_like(h), h)
             key = mdl.make_rng("sample")
             state, dists = mdl.cells[l](enc_t, (z, h), ctx_t, key)
             outs = dict(z=state[0], h=state[1], **{k: v for k, v in dists.items() if k != "z"})
@@ -362,6 +362,7 @@ class CWVAEAudio(BaseModel):
     strides: Sequence[int] = (64, 16, 16)
     residual_posterior: bool = False
     precision_posterior: bool = False
+    with_resets: bool = False
     num_level_layers: int = 3
     stride_per_layer: int = 4
     likelihood: str = "DMoL"
@@ -409,6 +410,7 @@ class CWVAEAudio(BaseModel):
             strides=tuple(self.strides),
             residual_posterior=self.residual_posterior,
             precision_posterior=self.precision_posterior,
+            with_resets=self.with_resets,
             g_size=self.g_size,
         )
 

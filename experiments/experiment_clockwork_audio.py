@@ -30,6 +30,7 @@ def build_args():
     model_group.add_argument("--stride_per_layer", default=4, type=int)
     model_group.add_argument("--residual_posterior", default=False, type=str2bool)
     model_group.add_argument("--precision_posterior", default=False, type=str2bool)
+    model_group.add_argument("--with_resets", default=False, type=str2bool)
     model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
     model_group.add_argument("--num_bits", default=16, type=int)
     model_group.add_argument("--likelihood", default="DMoL", type=str)
@@ -58,6 +59,7 @@ def main():
         strides=tuple(args.strides),
         residual_posterior=args.residual_posterior,
         precision_posterior=args.precision_posterior,
+        with_resets=args.with_resets,
         num_level_layers=args.num_level_layers,
         stride_per_layer=args.stride_per_layer,
         likelihood=args.likelihood,

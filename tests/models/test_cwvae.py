@@ -109,14 +109,17 @@ class TestForward:
         assert np.isfinite(loss2)
 
     def test_with_resets(self):
-        model = make_model()  # resets are a CWVAE option; test the flag on the inner module
-        from blvm_tpu.models.clockwork_vae.clockwork_vae import CWVAE
-
-        # Build audio model with resets through the dataclass field
+        """Resets on parent ticks change the computation but keep it finite;
+        parameters are shared between the two settings."""
+        model = make_model()
+        model_r = make_model(with_resets=True)
         T = 64
         x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, T)), jnp.float32)
-        _, (loss, _, _) = init_and_apply(model, x, jnp.array([T, T]))
-        assert np.isfinite(loss)
+        x_sl = jnp.array([T, T])
+        variables, (loss, _, _) = init_and_apply(model, x, x_sl)
+        loss_r, _, _ = model_r.apply(variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)})
+        assert np.isfinite(loss_r)
+        assert abs(float(loss_r) - float(loss)) > 1e-7  # resets actually engage
 
     def test_split_sequence_geometry(self):
         model = make_model()
