@@ -8,8 +8,12 @@ the same exact metric-merge semantics. Differences:
   * Logging backend is pluggable: a JSONL file sink is always available
     (``runs/<name>/metrics.jsonl``) and wandb is used when importable and
     enabled — the reference hard-required wandb.
-  * Loader-worker CPU telemetry (psutil over worker PIDs) is replaced by
-    step-rate telemetry (ms/step) since loading is threaded, not forked.
+  * Loader-worker CPU telemetry (psutil over worker PIDs, reference
+    ``tracker.py:306-328``) is replaced by process-level host telemetry
+    (``process_cpu_percent`` from ``time.process_time`` and
+    ``host_iowait_percent`` from ``/proc/stat``) since loading is threaded,
+    not forked — there are no worker PIDs to sample. Plus step-rate telemetry
+    (ms/step) in the progress line.
 """
 
 import itertools
@@ -41,6 +45,49 @@ class JSONLSink:
     def log(self, values: dict):
         with open(self.path, "a") as f:
             f.write(json.dumps(values, default=float) + "\n")
+
+
+def _read_proc_stat_cpu() -> Optional[tuple]:
+    """(total_jiffies, iowait_jiffies) from the aggregate ``/proc/stat`` cpu
+    line, or None off-Linux. Used for host iowait telemetry."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        if fields[0] != "cpu":
+            return None
+        vals = [int(v) for v in fields[1:]]
+        return sum(vals), vals[4] if len(vals) > 4 else 0
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+class _HostTelemetry:
+    """Pass-scoped host utilization: snapshot at ``begin()``, deltas at
+    ``end()``. ``process_cpu_percent`` can exceed 100 (threaded loaders)."""
+
+    def __init__(self):
+        self._wall = None
+        self._proc = None
+        self._stat = None
+
+    def begin(self):
+        self._wall = time_mod.time()
+        self._proc = time_mod.process_time()
+        self._stat = _read_proc_stat_cpu()
+
+    def end(self) -> Dict[str, float]:
+        out = {}
+        if self._wall is None:
+            return out
+        dwall = time_mod.time() - self._wall
+        if dwall > 0:
+            out["process_cpu_percent"] = 100.0 * (time_mod.process_time() - self._proc) / dwall
+        stat = _read_proc_stat_cpu()
+        if stat is not None and self._stat is not None:
+            dtotal = stat[0] - self._stat[0]
+            if dtotal > 0:
+                out["host_iowait_percent"] = 100.0 * (stat[1] - self._stat[1]) / dtotal
+        return out
 
 
 class Tracker:
@@ -91,6 +138,8 @@ class Tracker:
 
         self.metrics = defaultdict(dict)  # source -> name -> Metric
         self.accumulated_metrics = defaultdict(lambda: defaultdict(list))  # source -> name -> [Metric/epoch]
+        self._telemetry = defaultdict(_HostTelemetry)  # source -> sampler
+        self.telemetry = defaultdict(dict)  # source -> name -> float (last pass)
 
     @property
     def values(self) -> Dict[str, Dict[str, float]]:
@@ -178,10 +227,12 @@ class Tracker:
         self.source = source
         self.max_steps[self.source] = max_steps
         self.start_time[self.source] = time_mod.time()
+        self._telemetry[self.source].begin()
 
     def unset(self):
         self.print(end="\n")
         self.end_time[self.source] = time_mod.time()
+        self.telemetry[self.source] = self._telemetry[self.source].end()
         self.step_total[self.source] += self.step_within_epoch[self.source]
         for name, metric in self.metrics[self.source].items():
             self.accumulated_metrics[self.source][name].append(metric.copy())
@@ -195,6 +246,8 @@ class Tracker:
         self.end_time = defaultdict(lambda: None)
         self.step_within_epoch = defaultdict(lambda: 0)
         self.max_steps = defaultdict(lambda: 0)
+        self._telemetry = defaultdict(_HostTelemetry)
+        self.telemetry = defaultdict(dict)
 
     def do_print(self) -> bool:
         if self.print_every is None:
@@ -257,6 +310,7 @@ class Tracker:
             if self.end_time[source] is not None and self.start_time[source] is not None:
                 values[source]["epoch_duration"] = self.end_time[source] - self.start_time[source]
             values[source]["steps"] = self.step_total[source]
+            values[source].update(self.telemetry[source])
 
         payload = {"epoch": self.epoch, **values}
         for sink in self.sinks:

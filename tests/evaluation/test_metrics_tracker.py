@@ -169,3 +169,25 @@ class TestTracker:
         tracker = Tracker(print_every=None, debug_epoch_break_steps=2)
         seen = sum(1 for _ in tracker.steps(range(100), source="s"))
         assert seen == 2
+
+    def test_host_telemetry_logged(self, tmp_path, capsys):
+        """Epoch logs carry process CPU%% (and, on Linux, host iowait%%)."""
+        import json
+        import time
+
+        path = tmp_path / "m.jsonl"
+        tracker = Tracker(print_every=None, jsonl_path=str(path))
+        for _ in tracker.epochs(1):
+            for _ in tracker.steps(range(3), source="train"):
+                t0 = time.process_time()
+                while time.process_time() - t0 < 0.01:  # burn a little CPU
+                    pass
+                tracker.update([LossMetric(1.0)])
+            tracker.log()
+
+        line = json.loads(path.read_text().splitlines()[0])
+        assert "process_cpu_percent" in line["train"]
+        assert line["train"]["process_cpu_percent"] > 0.0
+        # iowait is only available on Linux /proc; don't require it elsewhere
+        if "host_iowait_percent" in line["train"]:
+            assert 0.0 <= line["train"]["host_iowait_percent"] <= 100.0
