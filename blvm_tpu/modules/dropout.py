@@ -7,6 +7,8 @@ batches — packed sequences do not exist in this framework (masking replaces
 packing under static shapes).
 """
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -16,7 +18,7 @@ class WordDropout(nn.Module):
     """Zero out entire timesteps with probability ``rate`` (train only)."""
 
     rate: float
-    deterministic: bool = False
+    deterministic: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic=None):
@@ -36,7 +38,7 @@ class TemporalDropout(nn.Module):
     """
 
     rate: float
-    deterministic: bool = False
+    deterministic: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic=None):
