@@ -2,7 +2,14 @@ from blvm_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
     make_mesh,
+    pad_batch_to_devices,
     replicated_sharding,
     shard_batch,
+    shard_examples_by_process,
+)
+from blvm_tpu.parallel.tensor_parallel import (
+    WAVENET_TP_RULES,
+    shard_train_state,
+    tree_shardings,
 )
 from blvm_tpu.parallel.train_step import make_eval_step, make_train_step

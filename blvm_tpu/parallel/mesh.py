@@ -5,7 +5,9 @@ The reference has no working distributed training (DDP flags exist but
 TPU-native replacement: a 1-D ``jax.sharding.Mesh`` over the slice's devices
 with axis ``"data"``; batches are sharded along their leading (batch) axis,
 parameters are replicated, and XLA inserts the gradient ``psum`` over ICI when
-the jitted train step runs under these shardings. Multi-host execution shards
+the jitted train step runs under these shardings. With
+``model_axis_size > 1`` the mesh becomes 2-D ``(data, model)`` for tensor
+parallelism (see ``parallel/tensor_parallel.py``). Multi-host execution shards
 the per-host file lists by ``jax.process_index()`` (see data pipeline) and
 relies on ``jax.distributed.initialize`` — no custom communication backend.
 """
@@ -19,16 +21,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MESH: Optional[Mesh] = None
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """Create (and remember) a 1-D data-parallel mesh over the given devices."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_name: str = DATA_AXIS,
+    model_axis_size: int = 1,
+) -> Mesh:
+    """Create (and remember) the process-wide mesh.
+
+    ``model_axis_size=1`` (default) gives the 1-D data-parallel mesh. A larger
+    value folds the devices into a 2-D ``(data, model)`` mesh for tensor
+    parallelism (see ``parallel/tensor_parallel.py``); batches stay sharded on
+    the data axis (replicated over model), parameters shard per the TP rules.
+    """
     global _MESH
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    _MESH = Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if model_axis_size > 1:
+        if devices.size % model_axis_size != 0:
+            raise ValueError(f"{devices.size} devices not divisible by model_axis_size={model_axis_size}")
+        _MESH = Mesh(devices.reshape(-1, model_axis_size), (axis_name, MODEL_AXIS))
+    else:
+        _MESH = Mesh(devices, (axis_name,))
     return _MESH
 
 
