@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     mesh_group = parser.add_argument_group("mesh")
     mesh_group.add_argument("--n_devices", type=int, default=None, help="devices in the data-parallel mesh (default all)")
+    mesh_group.add_argument(
+        "--model_axis_size",
+        type=int,
+        default=1,
+        help="tensor-parallel mesh axis size (2-D (data, model) mesh; model-specific partition rules required)",
+    )
 
     wandb_group = parser.add_argument_group("wandb")
     wandb_group.add_argument("--entity", type=str, default=None)

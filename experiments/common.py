@@ -36,7 +36,8 @@ from blvm_tpu.data import (
 )
 from blvm_tpu.data.datasets import DATASETS
 from blvm_tpu.evaluation import Tracker
-from blvm_tpu.parallel import make_mesh, make_train_step, make_eval_step, shard_batch
+from blvm_tpu.parallel import make_mesh, make_train_step, make_eval_step, shard_batch, shard_train_state
+from blvm_tpu.parallel.mesh import DATA_AXIS
 from blvm_tpu.parallel.mesh import pad_batch_to_devices
 from blvm_tpu.settings import LOGGER, RUNS_DIRECTORY
 from blvm_tpu.training import TrainState, get_optimizer, save_run
@@ -135,6 +136,7 @@ def run_audio_training(
     script_name: str = "experiment",
     state_carry_eval: Optional[Callable] = None,
     post_eval_hook: Optional[Callable] = None,
+    tp_rules=None,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -145,13 +147,21 @@ def run_audio_training(
         best_metric_name: eval metric gating checkpoint saving (min is best).
         state_carry_eval: optional ``f(eval_step, params, rng, x, x_sl, scalars,
             tracker, source)`` implementing chunked split-eval with state carry.
+        tp_rules: optional tensor-parallel partition rules (see
+            ``blvm_tpu/parallel/tensor_parallel.py``); with
+            ``--model_axis_size > 1`` the mesh becomes 2-D ``(data, model)``
+            and the train state is sharded per the rules.
     """
     run_dir = default_run_dir(args, script_name)
     root_key = set_seed(args.seed)
 
-    mesh = make_mesh(args.n_devices)
-    n_devices = len(mesh.devices.flatten()) if hasattr(mesh.devices, "flatten") else mesh.devices.size
-    LOGGER.info(f"mesh: {n_devices} device(s); run dir: {run_dir}")
+    model_axis_size = getattr(args, "model_axis_size", 1) or 1
+    if model_axis_size > 1 and tp_rules is None:
+        raise ValueError("--model_axis_size > 1 requires this experiment to provide tensor-parallel rules")
+    mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size)
+    # batches shard over the data axis only; pad the batch to its size
+    n_devices = mesh.shape[DATA_AXIS]
+    LOGGER.info(f"mesh: {dict(mesh.shape)}; run dir: {run_dir}")
 
     annealers = annealers or {}
     schedules = make_scalar_schedules(annealers)
@@ -181,6 +191,8 @@ def run_audio_training(
         **args.optimizer_kwargs,
     )
     state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+    if model_axis_size > 1:
+        state = shard_train_state(state, mesh, tp_rules)
 
     train_step = make_train_step(loss_fn, mesh=mesh)
     eval_step = make_eval_step(loss_fn, mesh=mesh)
