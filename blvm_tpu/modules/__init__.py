@@ -13,6 +13,7 @@ from blvm_tpu.modules.distributions import (
 )
 from blvm_tpu.modules.activations import GatedTanhUnit, gated_tanh_unit
 from blvm_tpu.modules.convenience import AddConstant, Permute, View
+from blvm_tpu.modules.convolutions import ConvDepthwiseSeparable1d, ConvTransposeDepthwiseSeparable1d
 from blvm_tpu.modules.dropout import TemporalDropout, WordDropout
 from blvm_tpu.modules.lstm_block import LSTMBlock
 from blvm_tpu.modules.recurrent import GRU, GRUCell, LSTM
