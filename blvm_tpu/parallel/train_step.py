@@ -24,6 +24,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     return_outputs: bool = False,
+    log_norms: bool = False,
 ):
     """Build a jitted sharded train step.
 
@@ -35,9 +36,15 @@ def make_train_step(
         donate: donate the train state (in-place HBM reuse).
         return_outputs: also return the model outputs (costs transfers; off for
             training, on for eval/generation logging).
+        log_norms: add global ``grad_norm``/``param_norm`` scalars to ``mets``
+            (TPU-cheap replacement for the reference's ``wandb.watch``
+            gradient histograms — SURVEY §5.1; histograms would force large
+            host transfers every step).
 
     Returns ``step(state, batch, scalars) -> (state, mets[, outputs])``.
     """
+    import optax
+
     mesh = mesh or get_mesh()
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -46,6 +53,10 @@ def make_train_step(
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (mets, outputs)), grads = grad_fn(state.params, step_rng, batch, scalars)
+        if log_norms:
+            mets = dict(mets)
+            mets["grad_norm"] = optax.global_norm(grads)
+            mets["param_norm"] = optax.global_norm(state.params)
         state = state.apply_gradients(grads)
         state = state.replace(rng=rng)
         if return_outputs:

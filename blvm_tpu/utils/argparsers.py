@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     setup_group.add_argument("--test_every", type=int, default=10, help="test every number of epochs")
     setup_group.add_argument("--run_dir", type=str, default=None, help="output directory (checkpoints, metrics.jsonl)")
     setup_group.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace dir (first epoch)")
+    setup_group.add_argument(
+        "--log_norms",
+        type=str2bool,
+        default=False,
+        help="log global grad/param norms each epoch (wandb.watch equivalent)",
+    )
 
     data_group = parser.add_argument_group("data")
     data_group.add_argument("--dataset", type=str, default=None, choices=list(DATASETS.keys()))

@@ -194,7 +194,8 @@ def run_audio_training(
     if model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
 
-    train_step = make_train_step(loss_fn, mesh=mesh)
+    log_norms = bool(getattr(args, "log_norms", False))
+    train_step = make_train_step(loss_fn, mesh=mesh, log_norms=log_norms)
     eval_step = make_eval_step(loss_fn, mesh=mesh)
 
     tracker = Tracker(
@@ -215,6 +216,7 @@ def run_audio_training(
 
     for epoch in tracker.epochs(args.epochs):
         # ------------------------------------------------------------- training
+        last_norms = {}
         for (x, x_sl), metadata in tracker.steps(pipeline.train_loader, source=dataset.train):
             x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
             batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
@@ -222,7 +224,10 @@ def run_audio_training(
             state, mets = train_step(state, batch, scalars)
             # the fetch below syncs on this step's result; the loader threads
             # keep the next batch ready so the device restarts immediately
-            tracker.update(build_metrics(jax.device_get(mets)))
+            mets = jax.device_get(mets)
+            if log_norms:
+                last_norms = {k: float(mets.pop(k)) for k in ("grad_norm", "param_norm")}
+            tracker.update(build_metrics(mets))
 
         # ------------------------------------------------------------------ eval
         extra = dict()
@@ -272,7 +277,7 @@ def run_audio_training(
             profile_dir = None
 
         current_lr = lr(int(state.step)) if callable(lr) else lr
-        tracker.log(learning_rate=float(current_lr), **extra)
+        tracker.log(learning_rate=float(current_lr), **last_norms, **extra)
 
     if profile_dir:
         jax.profiler.stop_trace()
