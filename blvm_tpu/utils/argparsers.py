@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     data_group.add_argument("--batch_size_bucket_base", type=int, default=8, help="pow2 batch-size bucket base")
 
     train_group = parser.add_argument_group("training")
+    train_group.add_argument(
+        "--eval_iw_samples",
+        type=int,
+        default=0,
+        help="K>0: report the K-sample importance-weighted bound (bits/frame) at eval time",
+    )
     train_group.add_argument("--epochs", type=int, default=10)
     train_group.add_argument("--batch_size", type=int, default=0, help="batch size in number of examples")
     train_group.add_argument("--batch_len", type=float_or_str, default=0, help="batch size in total timesteps")

@@ -137,6 +137,7 @@ def run_audio_training(
     state_carry_eval: Optional[Callable] = None,
     post_eval_hook: Optional[Callable] = None,
     tp_rules=None,
+    iw_kwargs: Optional[Dict] = None,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -151,6 +152,9 @@ def run_audio_training(
             ``blvm_tpu/parallel/tensor_parallel.py``); with
             ``--model_axis_size > 1`` the mesh becomes 2-D ``(data, model)``
             and the train state is sharded per the rules.
+        iw_kwargs: extra ``model.apply`` kwargs for the ``--eval_iw_samples``
+            importance-weighted bound (e.g. CWVAE needs
+            ``pad_strideable=True``).
     """
     run_dir = default_run_dir(args, script_name)
     root_key = set_seed(args.seed)
@@ -198,6 +202,20 @@ def run_audio_training(
     train_step = make_train_step(loss_fn, mesh=mesh, log_norms=log_norms)
     eval_step = make_eval_step(loss_fn, mesh=mesh)
 
+    # optional importance-weighted bound at eval time (tighter than the ELBO;
+    # blvm_tpu addition — evaluation/bounds.py). K forward passes under
+    # lax.map inside one jit; reported as bits/frame like the primary metric.
+    eval_iw_samples = int(getattr(args, "eval_iw_samples", 0) or 0)
+    if eval_iw_samples > 0:
+        from functools import partial
+
+        from blvm_tpu.evaluation.bounds import model_iw_bound
+        from blvm_tpu.evaluation.metrics import BitsPerDimMetric
+
+        @partial(jax.jit, static_argnames=("num_samples",))
+        def iw_step(params, key, x, x_sl, num_samples):
+            return model_iw_bound(model, params, x, x_sl, key, num_samples, **(iw_kwargs or {}))
+
     tracker = Tracker(
         jsonl_path=str(run_dir / "metrics.jsonl"),
         use_wandb=getattr(args, "mode", None) not in (None, "disabled"),
@@ -244,6 +262,16 @@ def run_audio_training(
                         batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
                         mets, outputs = eval_step(state.params, sub, batch, scalars)
                         tracker.update(build_metrics(jax.device_get(mets)))
+                        if eval_iw_samples > 0:
+                            eval_key, sub_iw = jax.random.split(eval_key)
+                            bound = jax.device_get(
+                                iw_step(state.params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
+                            )
+                            x_sl_h = np.asarray(x_sl)
+                            bound = np.where(x_sl_h > 0, bound, 0.0)  # mask padded zero-length rows
+                            tracker.update(
+                                [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)]
+                            )
 
             # log audio reconstructions from the final eval batch
             if outputs is not None:

@@ -132,6 +132,7 @@ def main():
         best_metric_name="loss",
         script_name="clockwork_audio",
         state_carry_eval=state_carry_eval,
+        iw_kwargs=dict(pad_strideable=True),
     )
 
 
