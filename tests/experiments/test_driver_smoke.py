@@ -149,6 +149,8 @@ class TestVRNNDriver:
             "--bucket_multiple", "512",
             "--n_devices", "1",
             "--run_dir", str(run_dir),
+            "--eval_iw_samples", "2",
+            "--log_norms", "true",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_vrnn_audio")
@@ -156,6 +158,9 @@ class TestVRNNDriver:
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
         assert "elbo" in lines[0]["synthetic_test"]
         assert lines[0]["synthetic_test"]["beta"] <= 1.0
+        # IW bound reported in bits/frame and finite; grad/param norms logged
+        assert np.isfinite(lines[0]["synthetic_test"]["iw_2 (bpf)"])
+        assert lines[0]["grad_norm"] > 0 and lines[0]["param_norm"] > 0
 
 
 class TestWaveNetDriver:
