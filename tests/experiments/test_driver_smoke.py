@@ -190,6 +190,35 @@ class TestWaveNetDriver:
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
         assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
 
+    def test_tensor_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--model_axis_size 2 trains over a (data=2, model=2) mesh."""
+        run_dir = tmp_path / "run_wavenet_tp"
+        argv = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "2",
+            "--n_stacks", "1",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--model_axis_size", "2",
+            "--run_dir", str(run_dir),
+            "--save_checkpoints", "false",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_train"]["loss"])
+        assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
+
 
 class TestClockworkDriver:
     def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
