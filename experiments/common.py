@@ -195,6 +195,26 @@ def run_audio_training(
         **args.optimizer_kwargs,
     )
     state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+
+    # --resume RUN_DIR: restore params + optimizer state + annealer states +
+    # step from a saved run (reference resumes via manual wandb restore —
+    # utils/wandb.py:59-124; here the run dir is the system of record)
+    resume_dir = getattr(args, "resume", None)
+    start_epoch = 0
+    if resume_dir:
+        from blvm_tpu.training import load_run
+
+        _, params_r, opt_state_r, meta = load_run(
+            resume_dir, model_class=type(model), tx=tx, annealers=annealers, raise_errors=False
+        )
+        state = state.replace(params=params_r)
+        if opt_state_r is not None:
+            state = state.replace(opt_state=opt_state_r)
+        if meta.get("step") is not None:
+            state = state.replace(step=int(meta["step"]))
+        start_epoch = int(meta.get("epoch") or 0)
+        LOGGER.info(f"Resumed from {resume_dir}: epoch {start_epoch}, step {int(state.step)}")
+
     if model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
 
@@ -221,6 +241,7 @@ def run_audio_training(
         use_wandb=getattr(args, "mode", None) not in (None, "disabled"),
         debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
     )
+    tracker.epoch = start_epoch  # epochs() resumes from epoch+1
 
     dataset = pipeline.dataset
     eval_key = jax.random.PRNGKey(args.seed + 1)
