@@ -102,6 +102,42 @@ class TestLSTMDriver:
         assert len(wavs) > 0
 
 
+class TestLSTMResume:
+    def test_checkpoint_and_resume(self, synthetic_dataset, tmp_path, monkeypatch):
+        """Train with checkpointing, then --resume continues epoch numbering
+        and step counter from the saved run."""
+        run_a = tmp_path / "run_a"
+        base = [
+            "experiment_lstm_audio.py",
+            "--dataset", "synthetic",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--stack_size", "8",
+            "--hidden_size", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+        ]
+        monkeypatch.setattr(sys, "argv", base + ["--epochs", "3", "--run_dir", str(run_a), "--save_checkpoints", "true"])
+        driver = importlib.import_module("experiment_lstm_audio")
+        driver.main()
+        meta = json.loads((run_a / "checkpoint.json").read_text())
+        assert meta["epoch"] >= 2 and meta["step"] >= 2
+
+        run_b = tmp_path / "run_b"
+        monkeypatch.setattr(
+            sys, "argv",
+            base + ["--epochs", str(meta["epoch"] + 2), "--run_dir", str(run_b), "--save_checkpoints", "false",
+                    "--resume", str(run_a)],
+        )
+        driver.main()
+        lines = [json.loads(l) for l in (run_b / "metrics.jsonl").read_text().splitlines()]
+        assert [l["epoch"] for l in lines] == [meta["epoch"] + 1, meta["epoch"] + 2]
+        assert np.isfinite(lines[0]["synthetic_train"]["loss"])
+
+
 class TestLSTMSplitEval:
     def test_state_carry_split_eval(self, synthetic_dataset, tmp_path, monkeypatch):
         run_dir = tmp_path / "run_split"
