@@ -8,6 +8,8 @@ from blvm_tpu.parallel.mesh import (
     shard_examples_by_process,
 )
 from blvm_tpu.parallel.tensor_parallel import (
+    RESIDUAL_GLU_TP_RULES,
+    STCN_TP_RULES,
     WAVENET_TP_RULES,
     shard_train_state,
     tree_shardings,

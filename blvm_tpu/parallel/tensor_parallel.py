@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from blvm_tpu.parallel.mesh import MODEL_AXIS
 
-# WaveNet residual blocks (blvm_tpu/models/wavenet/modules.py):
+# Residual-GLU blocks (blvm_tpu/models/wavenet/modules.py:Conv1dResidualGLU —
+# the conv core of BOTH WaveNet and STCN):
 #   gate_kernel (k, C, 2C): column-parallel — shard the gate outputs.
 #   gate_bias   (2C,):      sharded with its outputs.
 #   rs_kernel (1, C, 2C):   row-parallel — shard the input contraction; XLA
@@ -37,11 +38,15 @@ from blvm_tpu.parallel.mesh import MODEL_AXIS
 # The GLU split (tanh/sigmoid halves of the gate output) crosses shards,
 # which GSPMD resolves with a reshard; an interleaved gate layout would
 # avoid it (round-2 optimization).
-WAVENET_TP_RULES: List[Tuple[str, P]] = [
+RESIDUAL_GLU_TP_RULES: List[Tuple[str, P]] = [
     (r"gate_kernel$", P(None, None, MODEL_AXIS)),
     (r"gate_bias$", P(MODEL_AXIS)),
     (r"rs_kernel$", P(None, MODEL_AXIS, None)),
 ]
+
+# Back-compat / per-model aliases; STCN's dilated stacks reuse the same block.
+WAVENET_TP_RULES = RESIDUAL_GLU_TP_RULES
+STCN_TP_RULES = RESIDUAL_GLU_TP_RULES
 
 
 def _key_name(key) -> str:

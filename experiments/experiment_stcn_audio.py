@@ -81,9 +81,12 @@ def run(args):
         )
         return loss, (mets, outputs)
 
+    from blvm_tpu.parallel import STCN_TP_RULES
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
-        args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio"
+        args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
+        tp_rules=STCN_TP_RULES,
     )
 
 

@@ -101,6 +101,42 @@ class TestTPTrainStepEquivalence:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    def test_stcn_dp_tp_step_matches_single_device(self):
+        """STCN's dilated stacks reuse Conv1dResidualGLU, so the same rules
+        shard them; the dp x tp step must match single-device numerically."""
+        from blvm_tpu.models import STCN
+        from blvm_tpu.parallel import STCN_TP_RULES
+
+        model = STCN(n_layers=2, latent_size=(8, 4), res_channels=16)
+
+        def loss_fn(params, rng, batch, scalars):
+            loss, mets, _ = model.apply(
+                {"params": params}, batch["x"], batch["x_sl"], rngs={"sample": rng}
+            )
+            return loss, (mets, None)
+
+        B, T = 8, 64
+        x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.full((B,), T, jnp.int32)
+
+        mesh1 = make_mesh(1)
+        state1 = make_state(model, x, x_sl)
+        step1 = make_train_step(loss_fn, mesh=mesh1, donate=False)
+        new1, mets1 = step1(state1, {"x": x, "x_sl": x_sl}, {})
+
+        mesh = make_mesh(8, model_axis_size=2)
+        state = shard_train_state(make_state(model, x, x_sl), mesh, STCN_TP_RULES)
+        gk = state.params["res_stack"]["Conv1dResidualGLU_0"]["gate_kernel"]
+        assert gk.sharding.spec == P(None, None, "model")
+        step = make_train_step(loss_fn, mesh=mesh, donate=False)
+        new8, mets8 = step(state, shard_batch({"x": x, "x_sl": x_sl}, mesh), {})
+
+        np.testing.assert_allclose(float(mets1["loss"]), float(mets8["loss"]), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new1.params), jax.tree_util.tree_leaves(new8.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
     def test_optimizer_moments_sharded(self):
         """Adam mu/nu inherit the parameter shardings (ZeRO-style TP memory)."""
         model = WaveNet(n_layers=2, n_stacks=1, res_channels=16, num_mix=2)
