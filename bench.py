@@ -1,22 +1,77 @@
 """Benchmark: training throughput of the flagship WaveNet on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Metric: waveform samples consumed per second by full training steps (forward +
 backward + Adam update) of the benchmarks.txt canonical TIMIT WaveNet config
 (n_stacks 5, n_layers 10, res_channels 96, DMoL 2^16 bins, 16000-sample
-segments). Baseline for vs_baseline: the BASELINE.json north star of 5× a
+segments). Baseline for vs_baseline: the BASELINE.json north star of 5x a
 reference single-GPU throughput; the reference repo records no absolute
 numbers (BASELINE.md), so vs_baseline reports value / 500_000 (500k samples/s
-≈ 5 × a ~100k samples/s single-GPU PyTorch estimate).
+~= 5 x a ~100k samples/s single-GPU PyTorch estimate).
+
+Measurement integrity (round-2 rework -- the round-1 number implied >4x chip
+peak and was an async-dispatch artifact of the experimental TPU relay):
+  * every timed step consumes a DIFFERENT batch (no constant-folding headroom),
+  * timing is closed by ``jax.device_get`` of the final loss scalar -- the
+    float must physically arrive on the host, which transitively forces every
+    step (params chain step-to-step), unlike ``block_until_ready`` which the
+    relay can acknowledge early,
+  * two step counts are timed and per-step times must agree (linearity); if
+    they disagree or the implied FLOP/s exceeds the chip's bf16 peak, the
+    script falls back to per-step-synced timing (a strict lower bound) and
+    reports that instead,
+  * the implied FLOP/s is checked against hardware peak with an analytic
+    *forward-only lower bound* on FLOPs -- if even that exceeds peak, the
+    measurement is impossible and the script fails loudly,
+  * first/last timed losses are reported so training progress is visible.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# -- workload config (benchmarks.txt canonical TIMIT WaveNet) -----------------
+N_LAYERS, N_STACKS, RES, NUM_MIX, NUM_BINS = 10, 5, 96, 10, 2**16
+B, T = 8, 16000
+
+# Known chip peaks (dense matmul FLOP/s). bf16 peak is used as the generous
+# upper bound for the plausibility assert even for f32 runs.
+PEAKS_BF16 = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+DEFAULT_PEAK = 197e12  # assume v5e-class if unrecognized
+
+
+def analytic_flops_per_step(receptive_field: int) -> tuple[float, float]:
+    """(forward_lower_bound, train_estimate) FLOPs per train step.
+
+    Counts only the MXU work (convs/denses; 2 FLOPs per MAC). The dilated
+    convs run over the receptive-field-padded sequence, each block's output
+    shrinking by its dilation; counting all 50 blocks at output length T is a
+    strict LOWER bound on the forward cost. Train estimate = 3x forward
+    (standard fwd:bwd = 1:2 for conv/matmul nets).
+    """
+    out_t = B * T  # output frames per step (skip_size == T)
+    gate = 2 * 2 * RES * (2 * RES)  # k=2 conv RES -> 2*RES
+    rs = 2 * RES * (2 * RES)  # 1x1 conv RES -> RES+RES
+    per_block = gate + rs
+    blocks = N_LAYERS * N_STACKS * per_block
+    causal = 2 * 2 * 1 * RES
+    head = 2 * RES * RES  # PointwiseTransform dense
+    lik = 2 * RES * (3 * NUM_MIX)  # DMoL parameter dense
+    fwd = out_t * (blocks + causal + head + lik)
+    return float(fwd), float(3 * fwd)
 
 
 def main():
@@ -26,20 +81,29 @@ def main():
 
     make_mesh(1)
 
-    model = WaveNet(n_layers=10, n_stacks=5, res_channels=96, num_mix=10, num_bins=2**16)
+    model = WaveNet(
+        n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_mix=NUM_MIX, num_bins=NUM_BINS
+    )
 
-    B, T = 8, 16000  # benchmarks.txt segment length; batch sized to fill the chip
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32)
-    x_sl = jnp.full((B,), T, jnp.int32)
+    n_distinct = 4  # cycled so successive steps never see the same data
+    batches = [
+        {
+            "x": jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
+            "x_sl": jnp.full((B,), T, jnp.int32),
+        }
+        for _ in range(n_distinct)
+    ]
 
     # init inside jit: eager op-by-op init would trigger per-op compilation
     variables = jax.jit(
-        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, x, x_sl)
+        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, batches[0]["x"], batches[0]["x_sl"])
     )(jax.random.PRNGKey(0))
 
     tx = get_optimizer("Adam", 3e-4)
-    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2)
+    )
 
     def loss_fn(params, rng_key, batch, scalars):
         loss, mets, _ = model.apply(
@@ -48,22 +112,60 @@ def main():
         return loss, (mets, None)
 
     step = make_train_step(loss_fn)
-    batch = {"x": x, "x_sl": x_sl}
 
-    # warmup / compile — two steps: the first call's output state carries mesh
+    # warmup / compile -- two steps: the first call's output state carries mesh
     # shardings, so the second call compiles the steady-state executable
-    for _ in range(2):
-        state, mets = step(state, batch, {})
-        jax.block_until_ready(mets["loss"])
+    for i in range(2):
+        state, mets = step(state, batches[i % n_distinct], {})
+        float(jax.device_get(mets["loss"]))
 
-    n_steps = 50
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, mets = step(state, batch, {})
-    jax.block_until_ready(mets["loss"])
-    dt = time.perf_counter() - t0
+    def timed_run(state, n_steps: int, sync_every_step: bool):
+        """Run n_steps and return (state, dt, loss_first, loss_last)."""
+        first_loss = None
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, mets = step(state, batches[i % n_distinct], {})
+            if first_loss is None:
+                first_loss = mets["loss"]
+            if sync_every_step:
+                float(jax.device_get(mets["loss"]))
+        last = float(jax.device_get(mets["loss"]))  # forces the whole chain
+        dt = time.perf_counter() - t0
+        return state, dt, float(jax.device_get(first_loss)), last
 
-    samples_per_sec = B * T * n_steps / dt
+    # async timing at two step counts -- per-step times must agree (linearity)
+    state, dt_a, loss_first, _ = timed_run(state, 20, sync_every_step=False)
+    state, dt_b, _, loss_last = timed_run(state, 100, sync_every_step=False)
+    per_step_a, per_step_b = dt_a / 20, dt_b / 100
+    linear = abs(per_step_a - per_step_b) <= 0.25 * max(per_step_a, per_step_b)
+
+    device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "unknown")
+    peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
+    fwd_flops, train_flops = analytic_flops_per_step(model.receptive_field)
+
+    timing_mode = "async_chain"
+    per_step = per_step_b
+    # plausibility: even the forward-only lower bound must fit under peak
+    if not linear or fwd_flops / per_step > peak:
+        # async dispatch on the relay is not trustworthy -- fall back to
+        # per-step host sync (strict lower bound on true throughput)
+        timing_mode = "per_step_sync"
+        state, dt_s, loss_first, loss_last = timed_run(state, 50, sync_every_step=True)
+        per_step = dt_s / 50
+
+    flops_per_sec = train_flops / per_step
+    mfu_pct = 100.0 * flops_per_sec / peak
+    samples_per_sec = B * T / per_step
+
+    if fwd_flops / per_step > peak:
+        print(
+            f"IMPLAUSIBLE MEASUREMENT: forward-only lower bound {fwd_flops / per_step:.3e} "
+            f"FLOP/s exceeds {kind} peak {peak:.3e} even with per-step sync -- refusing to report",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     baseline = 500_000.0  # 5x reference single-GPU target (BASELINE.json)
     print(
         json.dumps(
@@ -72,6 +174,15 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / baseline, 3),
+                "ms_per_step": round(per_step * 1e3, 3),
+                "flops_per_sec": round(flops_per_sec, 1),
+                "mfu_pct": round(mfu_pct, 2),
+                "hw_peak_assumed": peak,
+                "device_kind": kind,
+                "timing_mode": timing_mode,
+                "timing_linear": linear,
+                "loss_first": round(loss_first, 4),
+                "loss_last": round(loss_last, 4),
             }
         )
     )
