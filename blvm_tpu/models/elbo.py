@@ -28,7 +28,11 @@ def compute_sequence_elbo(likelihood, y, parameters, kld_twise, x_sl, stride: in
     kld_fn = (kld_twise_fn * seq_mask_kl).sum(axis=(1, 2))
     loss = -(log_prob - beta * kld_fn).sum() / x_sl.sum()
 
-    return loss, elbo, log_prob, kld, seq_mask
+    # The reference rebinds ``kld`` after the free-nats discount and returns
+    # THAT as the kl output (vrnn.py:272-278) — so its KL metrics report the
+    # discounted value, not the true KL. ``elbo`` above uses the true KL on
+    # both sides. Matched for observable parity.
+    return loss, elbo, log_prob, kld_fn, seq_mask
 
 
 def masked_strided_sum(kld_twise, x_sl, max_len: int, stride: int):

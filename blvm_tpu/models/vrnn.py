@@ -298,7 +298,8 @@ class VRNNAudio(BaseModel):
             x = jnp.repeat(x, n_samples, axis=0)
 
         B = x.shape[0]
-        h = jnp.zeros((B, 2 * self.hidden_size), jnp.float32) if h0 is None else h0
+        r_dim = self.vrnn.r_dim or 2 * self.vrnn.h_dim  # same rule as training (VRNN.setup)
+        h = jnp.zeros((B, r_dim), jnp.float32) if h0 is None else h0
         key = self.make_rng("sample")
 
         def body(mdl, carry, step_key):

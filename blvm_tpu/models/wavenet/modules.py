@@ -198,7 +198,12 @@ class ResidualStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip_size: int):
-        o = x if self.in_channels is None else Conv1d(features=self.res_channels, kernel_size=1, dtype=self.dtype)(x)
+        # The reference defaults ``in_channels = res_channels`` and then tests
+        # ``if self.in_channels is not None`` — always true — so its stack
+        # ALWAYS applies a 1x1 in_transform conv (wavenet_modules.py:144-163,
+        # 205-208), even when input width already equals res_channels. Kept
+        # for parity (trained checkpoints depend on it).
+        o = Conv1d(features=self.res_channels, kernel_size=1, dtype=self.dtype)(x)
         skips = []
         for dilation in self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation):
             block = Conv1dResidualGLU(

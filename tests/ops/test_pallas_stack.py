@@ -46,6 +46,10 @@ class TestFusedStack:
         skip_sum_flax = sum(skips)
 
         p = variables["params"]
+        # the module now always applies the reference's 1x1 in_transform
+        # (wavenet_modules.py:144-163); the kernel models the blocks only,
+        # so feed it the transformed input
+        x = x @ p["Conv1d_0"]["kernel"][0] + p["Conv1d_0"]["bias"]
         WG = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["gate_kernel"] for l in range(L)])
         BG = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["gate_bias"] for l in range(L)])
         W1 = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["rs_kernel"][0] for l in range(L)])
