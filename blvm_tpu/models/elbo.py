@@ -13,7 +13,11 @@ from blvm_tpu.ops.variational import discount_free_nats
 
 
 def compute_sequence_elbo(likelihood, y, parameters, kld_twise, x_sl, stride: int, beta=1.0, free_nats=0.0):
-    """Returns ``(loss, elbo, log_prob, kld, seq_mask)`` with per-example arrays."""
+    """Returns ``(loss, elbo, log_prob, kld, kld_fn, seq_mask)`` with per-example
+    arrays; ``kld`` is the true KL, ``kld_fn`` the free-nats-discounted KL used
+    in the loss. The reference is inconsistent about which one its models report
+    as "kl": VRNN rebinds and returns the discounted value (vrnn.py:272-278),
+    SRNN returns the true one (srnn.py:153-160) — callers pick theirs."""
     T = y.shape[1]
     seq_mask = sequence_mask(x_sl, max_len=T, dtype=jnp.float32)
 
@@ -28,11 +32,7 @@ def compute_sequence_elbo(likelihood, y, parameters, kld_twise, x_sl, stride: in
     kld_fn = (kld_twise_fn * seq_mask_kl).sum(axis=(1, 2))
     loss = -(log_prob - beta * kld_fn).sum() / x_sl.sum()
 
-    # The reference rebinds ``kld`` after the free-nats discount and returns
-    # THAT as the kl output (vrnn.py:272-278) — so its KL metrics report the
-    # discounted value, not the true KL. ``elbo`` above uses the true KL on
-    # both sides. Matched for observable parity.
-    return loss, elbo, log_prob, kld_fn, seq_mask
+    return loss, elbo, log_prob, kld, kld_fn, seq_mask
 
 
 def masked_strided_sum(kld_twise, x_sl, max_len: int, stride: int):

@@ -216,7 +216,9 @@ class SRNN(nn.Module):
 
         kld = kl_divergence_gaussian(outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"])
 
-        loss, elbo, log_prob, kl, seq_mask = compute_sequence_elbo(
+        # the reference SRNN reports the TRUE KL, not the discounted one
+        # (srnn.py:153-160) — unlike its VRNN
+        loss, elbo, log_prob, kl, _, seq_mask = compute_sequence_elbo(
             self.likelihood, y, parameters, kld, x_sl, stride, beta, free_nats
         )
 

@@ -177,7 +177,8 @@ class VRNN(nn.Module):
 
         kld = kl_divergence_gaussian(outs["enc_mu"], outs["enc_sd"], outs["prior_mu"], outs["prior_sd"])
 
-        loss, elbo, log_prob, kl, seq_mask = self.compute_elbo(y, parameters, kld, x_sl, stride, beta, free_nats)
+        # the reference VRNN reports the free-nats-discounted KL (vrnn.py:272-278)
+        loss, elbo, log_prob, _, kl, seq_mask = self.compute_elbo(y, parameters, kld, x_sl, stride, beta, free_nats)
 
         # MC form of the KL at the drawn z — the per-sample log-weight term for
         # importance-weighted bounds (evaluation/bounds.py)
