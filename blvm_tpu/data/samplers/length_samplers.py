@@ -22,23 +22,26 @@ def parse_max_len(batch_len: Union[int, float, str], lengths: List[int]):
     """Parse ``batch_len``: a number (must be >= the longest example) or a
     string containing 'max', e.g. '4max' = 4 * max(lengths)."""
     if batch_len is None:
-        raise ValueError("`batch_len` cannot be `None`")
+        raise ValueError("batch_len is required; pass a number or a 'max'-style string")
 
     max_len = max(lengths)
     if isinstance(batch_len, (int, float)):
         if batch_len < max_len:
-            raise ValueError(f"Given `batch_len` shorter than longest example {max_len}, would create empty batches.")
+            raise ValueError(
+                f"batch_len={batch_len} is below the longest example ({max_len} timesteps); "
+                "no batch could hold that example"
+            )
         return batch_len
 
     if isinstance(batch_len, str):
         if "max" not in batch_len:
-            raise ValueError("`batch_len` must be `int`, `float`, or contain the substring `'max'`")
+            raise ValueError(f"string batch_len must contain 'max' (e.g. '4max'), got {batch_len!r}")
         digits = [c for c in batch_len if c.isdigit()]
         if not digits:
             return max_len
         return int("".join(digits)) * max_len
 
-    raise ValueError("`batch_len` must be an integer, float, or 'max'")
+    raise ValueError(f"unsupported batch_len type {type(batch_len).__name__}: pass int, float, or a 'max' string")
 
 
 class LengthTrainSampler:

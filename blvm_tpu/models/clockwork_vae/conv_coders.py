@@ -77,14 +77,20 @@ class _DepthwiseSeparable(nn.Module):
 
 
 class TemporalResidual(nn.Module):
-    """Residual add with nearest-neighbor temporal resampling on length mismatch."""
+    """Residual add with nearest-neighbor temporal resampling on length mismatch.
+
+    Nearest indices follow torch ``F.interpolate(mode="nearest")`` semantics —
+    ``floor(i * T_in / T_out)`` — which differ from ``jax.image.resize``'s
+    half-sample centering (reference ``convolutional_coders.py:15-26``).
+    """
 
     @staticmethod
     def add(x, x_residual):
         if x_residual.shape[1] == x.shape[1]:
             return x_residual + x
-        x_resampled = jax.image.resize(x, (x.shape[0], x_residual.shape[1], x.shape[2]), method="nearest")
-        return x_residual + x_resampled
+        t_in, t_out = x.shape[1], x_residual.shape[1]
+        idx = jnp.floor(jnp.arange(t_out) * (t_in / t_out)).astype(jnp.int32)
+        return x_residual + jnp.take(x, idx, axis=1)
 
 
 class BlockSeparable(nn.Module):
