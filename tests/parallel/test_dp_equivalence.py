@@ -84,3 +84,72 @@ class TestVRNNDP:
         mesh = make_mesh(8)
         g8 = grad_fn(variables, shard_batch({"x": x, "x_sl": x_sl}, mesh))
         grads_close(g1, g8)
+
+
+class TestSRNNDP:
+    def test_grad_equivalence(self):
+        from blvm_tpu.models import SRNNAudio
+
+        model = SRNNAudio(likelihood="DMoL", input_size=8, hidden_size=8, latent_size=2, num_mix=2)
+        B, T = 8, 32
+        x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.full((B,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        def loss(p, batch):
+            l, _, _ = model.apply(p, batch["x"], batch["x_sl"], rngs={"sample": jax.random.PRNGKey(2)})
+            return l
+
+        grad_fn = jax.jit(jax.grad(loss))
+        make_mesh(1)
+        g1 = grad_fn(variables, {"x": x, "x_sl": x_sl})
+        mesh = make_mesh(8)
+        g8 = grad_fn(variables, shard_batch({"x": x, "x_sl": x_sl}, mesh))
+        grads_close(g1, g8)
+
+
+class TestSTCNDP:
+    def test_grad_equivalence(self):
+        from blvm_tpu.models import STCN
+
+        model = STCN(n_layers=2, latent_size=(8, 4), res_channels=8)
+        B, T = 8, 32
+        x = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.full((B,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        def loss(p, batch):
+            l, _, _ = model.apply(p, batch["x"], batch["x_sl"], rngs={"sample": jax.random.PRNGKey(2)})
+            return l
+
+        grad_fn = jax.jit(jax.grad(loss))
+        make_mesh(1)
+        g1 = grad_fn(variables, {"x": x, "x_sl": x_sl})
+        mesh = make_mesh(8)
+        g8 = grad_fn(variables, shard_batch({"x": x, "x_sl": x_sl}, mesh))
+        grads_close(g1, g8)
+
+
+class TestCWVAEDP:
+    def test_grad_equivalence(self):
+        from blvm_tpu.models import CWVAEAudio
+
+        model = CWVAEAudio(
+            z_size=4, h_size=8, strides=(4, 2), num_level_layers=2, stride_per_layer=2,
+            likelihood="DMoL", num_mix=2,
+        )
+        B, T = 8, 64
+        x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.full((B,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        def loss(p, batch):
+            l, _, _ = model.apply(p, batch["x"], batch["x_sl"], rngs={"sample": jax.random.PRNGKey(2)})
+            return l
+
+        grad_fn = jax.jit(jax.grad(loss))
+        make_mesh(1)
+        g1 = grad_fn(variables, {"x": x, "x_sl": x_sl})
+        mesh = make_mesh(8)
+        g8 = grad_fn(variables, shard_batch({"x": x, "x_sl": x_sl}, mesh))
+        grads_close(g1, g8)
