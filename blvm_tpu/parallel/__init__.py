@@ -1,6 +1,7 @@
 from blvm_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    make_global_batch,
     make_mesh,
     pad_batch_to_devices,
     replicated_sharding,

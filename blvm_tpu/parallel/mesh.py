@@ -92,6 +92,30 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
     return jax.tree_util.tree_map(put, batch)
 
 
+def make_global_batch(local_batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
+    """Assemble a global (process-spanning) batch from each host's local rows.
+
+    Single-host this is equivalent to ``shard_batch``. Multi-host (after
+    ``jax.distributed.initialize``) each process passes the batch rows built
+    from its ``shard_examples_by_process`` slice; the result is a pytree of
+    global ``jax.Array``s sharded over the data axis with only the local rows
+    resident on this host. Per-host row counts must be equal — pad with
+    zero-length rows (``pad_batch_to_devices``), which the models' masked
+    losses ignore. Rank-0 leaves are replicated and must be identical on every
+    host.
+    """
+    mesh = mesh or get_mesh()
+    data_sharding = batch_sharding(mesh, axis_name)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = repl if x.ndim == 0 else data_sharding
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
 def shard_examples_by_process(examples, process_index: Optional[int] = None, process_count: Optional[int] = None):
     """Per-host shard of a file/example list for multi-host data loading.
 

@@ -19,3 +19,7 @@ import jax  # noqa: E402
 # conftest runs, so the env var alone is not enough — override the live config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)  # match production f32 semantics
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running tests (multi-process smoke, convergence)")
