@@ -31,16 +31,18 @@ from blvm_tpu.parallel.mesh import MODEL_AXIS
 
 # Residual-GLU blocks (blvm_tpu/models/wavenet/modules.py:Conv1dResidualGLU —
 # the conv core of BOTH WaveNet and STCN):
-#   gate_kernel (k, C, 2C): column-parallel — shard the gate outputs.
-#   gate_bias   (2C,):      sharded with its outputs.
-#   rs_kernel (1, C, 2C):   row-parallel — shard the input contraction; XLA
-#                           inserts the partial-sum reduction over ICI.
-# The GLU split (tanh/sigmoid halves of the gate output) crosses shards,
-# which GSPMD resolves with a reshard; an interleaved gate layout would
-# avoid it (round-2 optimization).
+#   gate_kernel_t/_s (k, C, C): column-parallel — shard each branch's outputs.
+#   gate_bias_t/_s   (C,):      sharded with their outputs.
+#   rs_kernel (1, C, Cr+Cs):    row-parallel — shard the input contraction;
+#                               XLA inserts the partial-sum all-reduce over ICI.
+# The gate is stored as separate tanh/sigmoid branch convs precisely so that
+# tanh(a)*sigmoid(b) is shard-local: the fused (k, C, 2C) layout put the two
+# halves on different shards, costing ~3 all-to-all + 2 collective-permute per
+# block at tp=2 (measured on the virtual mesh). With branch params the only TP
+# collective per block is the row-parallel all-reduce.
 RESIDUAL_GLU_TP_RULES: List[Tuple[str, P]] = [
-    (r"gate_kernel$", P(None, None, MODEL_AXIS)),
-    (r"gate_bias$", P(MODEL_AXIS)),
+    (r"gate_kernel_[ts]$", P(None, None, MODEL_AXIS)),
+    (r"gate_bias_[ts]$", P(MODEL_AXIS)),
     (r"rs_kernel$", P(None, MODEL_AXIS, None)),
 ]
 

@@ -50,8 +50,23 @@ class TestFusedStack:
         # (wavenet_modules.py:144-163); the kernel models the blocks only,
         # so feed it the transformed input
         x = x @ p["Conv1d_0"]["kernel"][0] + p["Conv1d_0"]["bias"]
-        WG = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["gate_kernel"] for l in range(L)])
-        BG = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["gate_bias"] for l in range(L)])
+        WG = jnp.stack(
+            [
+                jnp.concatenate(
+                    [p[f"Conv1dResidualGLU_{l}"]["gate_kernel_t"], p[f"Conv1dResidualGLU_{l}"]["gate_kernel_s"]],
+                    axis=-1,
+                )
+                for l in range(L)
+            ]
+        )
+        BG = jnp.stack(
+            [
+                jnp.concatenate(
+                    [p[f"Conv1dResidualGLU_{l}"]["gate_bias_t"], p[f"Conv1dResidualGLU_{l}"]["gate_bias_s"]]
+                )
+                for l in range(L)
+            ]
+        )
         W1 = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["rs_kernel"][0] for l in range(L)])
         B1 = jnp.stack([p[f"Conv1dResidualGLU_{l}"]["rs_bias"] for l in range(L)])
 

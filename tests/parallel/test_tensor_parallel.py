@@ -52,8 +52,10 @@ class TestPartitionRules:
         )["params"]
         shardings = tree_shardings(params, mesh, WAVENET_TP_RULES)
         blk = shardings["res_stack"]["Conv1dResidualGLU_0"]
-        assert blk["gate_kernel"].spec == P(None, None, "model")
-        assert blk["gate_bias"].spec == P("model")
+        assert blk["gate_kernel_t"].spec == P(None, None, "model")
+        assert blk["gate_kernel_s"].spec == P(None, None, "model")
+        assert blk["gate_bias_t"].spec == P("model")
+        assert blk["gate_bias_s"].spec == P("model")
         assert blk["rs_kernel"].spec == P(None, "model", None)
         assert blk["rs_bias"].spec == P()  # replicated
         assert shardings["causal"]["Conv1d_0"]["kernel"].spec == P()
@@ -62,9 +64,9 @@ class TestPartitionRules:
         mesh = make_mesh(8, model_axis_size=2)
         # res_channels=15 -> gate out 30 not divisible by 2 after... 30 % 2 == 0,
         # so use a leaf directly: a (3,) bias cannot shard over model=2
-        tree = {"gate_bias": jnp.zeros((3,))}
+        tree = {"gate_bias_t": jnp.zeros((3,))}
         shardings = tree_shardings(tree, mesh, WAVENET_TP_RULES)
-        assert shardings["gate_bias"].spec == P()
+        assert shardings["gate_bias_t"].spec == P()
 
     def test_mesh_validation(self):
         with pytest.raises(ValueError):
@@ -90,7 +92,7 @@ class TestTPTrainStepEquivalence:
         state = make_state(model, x, x_sl)
         state = shard_train_state(state, mesh, WAVENET_TP_RULES)
         # parameters actually landed sharded over the model axis
-        gk = state.params["res_stack"]["Conv1dResidualGLU_0"]["gate_kernel"]
+        gk = state.params["res_stack"]["Conv1dResidualGLU_0"]["gate_kernel_t"]
         assert gk.sharding.spec == P(None, None, "model")
         step = make_train_step(loss_fn, mesh=mesh, donate=False)
         new8, mets8 = step(state, shard_batch({"x": x, "x_sl": x_sl}, mesh), {})
@@ -126,7 +128,7 @@ class TestTPTrainStepEquivalence:
 
         mesh = make_mesh(8, model_axis_size=2)
         state = shard_train_state(make_state(model, x, x_sl), mesh, STCN_TP_RULES)
-        gk = state.params["res_stack"]["Conv1dResidualGLU_0"]["gate_kernel"]
+        gk = state.params["res_stack"]["Conv1dResidualGLU_0"]["gate_kernel_t"]
         assert gk.sharding.spec == P(None, None, "model")
         step = make_train_step(loss_fn, mesh=mesh, donate=False)
         new8, mets8 = step(state, shard_batch({"x": x, "x_sl": x_sl}, mesh), {})
@@ -150,7 +152,7 @@ class TestTPTrainStepEquivalence:
         mus = [
             leaf
             for path, leaf in jtu.tree_leaves_with_path(state.opt_state)
-            if "mu" in jtu.keystr(path) and "gate_kernel" in jtu.keystr(path)
+            if "mu" in jtu.keystr(path) and "gate_kernel_t" in jtu.keystr(path)
         ]
-        assert mus, "no Adam mu leaf found for gate_kernel"
+        assert mus, "no Adam mu leaf found for gate_kernel_t"
         assert all(m.sharding.spec == P(None, None, "model") for m in mus)

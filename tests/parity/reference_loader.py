@@ -139,3 +139,24 @@ def conv1d_params(sd, prefix):
     if f"{prefix}.bias" in sd:
         out["bias"] = t2n(sd[f"{prefix}.bias"])
     return out
+
+
+def residual_glu_params(sd, prefix):
+    """Reference Conv1dResidualGLU -> our block.
+
+    The reference's fused gate conv stacks [tanh half | sigmoid half] on the
+    output channels (GatedTanhUnit chunks in that order); our block stores the
+    two branches as separate column-parallel params (see
+    blvm_tpu/models/wavenet/modules.py:Conv1dResidualGLU).
+    """
+    gate = conv1d_params(sd, f"{prefix}.conv")
+    rs = conv1d_params(sd, f"{prefix}.conv1x1rs")
+    half = gate["kernel"].shape[-1] // 2
+    return {
+        "gate_kernel_t": gate["kernel"][..., :half],
+        "gate_kernel_s": gate["kernel"][..., half:],
+        "gate_bias_t": gate["bias"][:half],
+        "gate_bias_s": gate["bias"][half:],
+        "rs_kernel": rs["kernel"],
+        "rs_bias": rs["bias"],
+    }

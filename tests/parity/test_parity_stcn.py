@@ -29,14 +29,7 @@ N_LAYERS, LATENTS, RES = 2, (8, 4), 16
 def glu_stack_params(sd, prefix, n_blocks):
     params = {"Conv1d_0": ref.conv1d_params(sd, f"{prefix}.in_transform")}
     for i in range(n_blocks):
-        gate = ref.conv1d_params(sd, f"{prefix}.res_blocks.{i}.conv")
-        rs = ref.conv1d_params(sd, f"{prefix}.res_blocks.{i}.conv1x1rs")
-        params[f"Conv1dResidualGLU_{i}"] = {
-            "gate_kernel": gate["kernel"],
-            "gate_bias": gate["bias"],
-            "rs_kernel": rs["kernel"],
-            "rs_bias": rs["bias"],
-        }
+        params[f"Conv1dResidualGLU_{i}"] = ref.residual_glu_params(sd, f"{prefix}.res_blocks.{i}")
     return params
 
 

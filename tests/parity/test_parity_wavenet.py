@@ -43,14 +43,7 @@ def build_pair():
     n_blocks = N_LAYERS * N_STACKS
     res_stack = {"Conv1d_0": ref.conv1d_params(sd, "res_stack.in_transform")}
     for i in range(n_blocks):
-        gate = ref.conv1d_params(sd, f"res_stack.res_blocks.{i}.conv")
-        rs = ref.conv1d_params(sd, f"res_stack.res_blocks.{i}.conv1x1rs")
-        res_stack[f"Conv1dResidualGLU_{i}"] = {
-            "gate_kernel": gate["kernel"],
-            "gate_bias": gate["bias"],
-            "rs_kernel": rs["kernel"],
-            "rs_bias": rs["bias"],
-        }
+        res_stack[f"Conv1dResidualGLU_{i}"] = ref.residual_glu_params(sd, f"res_stack.res_blocks.{i}")
     params = {
         "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
         "res_stack": res_stack,
