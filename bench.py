@@ -38,6 +38,10 @@ import numpy as np
 # -- workload config (benchmarks.txt canonical TIMIT WaveNet) -----------------
 N_LAYERS, N_STACKS, RES, NUM_MIX, NUM_BINS = 10, 5, 96, 10, 2**16
 B, T = 8, 16000
+# bf16 residual stack (likelihood/skip-sum stay f32) — measured 1.95x faster
+# than f32 at equal loss (NOTES.md round-2 table); the reference's AMP
+# equivalent. Set BF16=False to time the pure-f32 path.
+BF16 = True
 
 # Known chip peaks (dense matmul FLOP/s). bf16 peak is used as the generous
 # upper bound for the plausibility assert even for f32 runs.
@@ -82,7 +86,7 @@ def main():
     make_mesh(1)
 
     model = WaveNet(
-        n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_mix=NUM_MIX, num_bins=NUM_BINS
+        n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_mix=NUM_MIX, num_bins=NUM_BINS, bf16=BF16
     )
 
     rng = np.random.default_rng(0)
@@ -179,6 +183,7 @@ def main():
                 "mfu_pct": round(mfu_pct, 2),
                 "hw_peak_assumed": peak,
                 "device_kind": kind,
+                "dtype": "bf16" if BF16 else "f32",
                 "timing_mode": timing_mode,
                 "timing_linear": linear,
                 "loss_first": round(loss_first, 4),
