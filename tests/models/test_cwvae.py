@@ -134,6 +134,45 @@ class TestForward:
         # the final active chunk must reach the end of the sequence
         assert np.any(lens[-1] > 0)
 
+    def test_forward_split_chain_with_state_carry(self):
+        """Chunked eval: forward_split over split_sequence chunks, threading the
+        per-level (z, h) states.
+
+        The reference's own CWVAE forward_split CRASHES on this path
+        (IndexError in its state extraction, clockwork_vae.py:288 — its
+        same-padding call at :226 swaps stride/receptive-field so x_sl is never
+        reduced and the per-example stop index overruns the level length).
+        This is a documented fix, not a parity target.
+        """
+        model = make_model()
+        B, T = 2, 192
+        rng = np.random.default_rng(9)
+        x = np.asarray(rng.uniform(-1, 1, (B, T)), np.float32)
+        x_sl = np.array([192, 150])
+        x[1, 150:] = 0.0
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x), jnp.asarray(x_sl)
+        )
+
+        chunks, lens = model.split_sequence(x, x_sl, length=80)
+        assert len(chunks) >= 2
+        state0 = None
+        for i, (xs, xs_sl) in enumerate(zip(chunks, lens)):
+            loss, _, out = model.apply(
+                variables,
+                jnp.asarray(xs),
+                jnp.asarray(xs_sl),
+                is_last_split=(i == len(chunks) - 1),
+                state0=state0,
+                rngs={"sample": jax.random.PRNGKey(2 + i)},
+                method=CWVAEAudio.forward_split,
+            )
+            state0 = out.state_n
+            assert np.isfinite(float(loss)), f"chunk {i}"
+        for l, (z_n, h_n) in enumerate(state0):
+            assert z_n.shape[0] == B and h_n.shape[0] == B
+
 
 class TestGenerate:
     def test_shapes(self):
