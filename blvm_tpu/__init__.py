@@ -3,8 +3,8 @@ latent variable models of speech.
 
 A ground-up rebuild of the capabilities of ``blvm`` (JakobHavtorn/benchmarking-lvms,
 reference at /root/reference) designed for TPU hardware: static-shape bucketed
-batching, ``lax.scan`` recurrent cores, XLA dilated convolutions with Pallas fused
-kernels on the hot path, ``shard_map`` data parallelism over a device mesh, and
+batching, ``lax.scan`` recurrent cores, XLA dilated convolutions with bf16 mixed
+precision on the hot path, GSPMD data/tensor parallelism over a device mesh, and
 explicit PRNG key threading.
 """
 

@@ -87,12 +87,7 @@ class CausalConv1d(nn.Module):
 
 
 class Conv1dResidualGLU(nn.Module):
-    """Dilated conv → gated tanh → 1×1 (res+skip) → scaled residual add.
-
-    With ``use_pallas=True`` (and k=2, default gate width) the whole chain runs
-    as one fused Pallas kernel (``ops/pallas/wavenet_block.py``) — the (B,T,2C)
-    gate intermediate never touches HBM. Both paths share the same parameters.
-    """
+    """Dilated conv → gated tanh → 1×1 (res+skip) → scaled residual add."""
 
     res_channels: int
     skip_channels: Optional[int] = None
@@ -100,8 +95,6 @@ class Conv1dResidualGLU(nn.Module):
     kernel_size: int = 2
     dilation: int = 1
     use_bias: bool = True
-    use_pallas: bool = False
-    pallas_interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -134,23 +127,6 @@ class Conv1dResidualGLU(nn.Module):
             if self.use_bias
             else jnp.zeros((self.res_channels + skip_channels,), x.dtype)
         )
-
-        pallas_ok = (
-            self.use_pallas
-            and self.kernel_size == 2
-            and gate_channels == 2 * C_in
-            and C_in == self.res_channels
-            and self.dtype in (None, jnp.float32)
-        )
-        if pallas_ok:
-            from blvm_tpu.ops.pallas.wavenet_block import fused_residual_glu
-
-            gate_kernel = jnp.concatenate([gate_kernel_t, gate_kernel_s], axis=-1)
-            gate_bias = jnp.concatenate([gate_bias_t, gate_bias_s])
-            o, s = fused_residual_glu(
-                x, gate_kernel, gate_bias, rs_kernel[0], rs_bias, self.dilation, 512, self.pallas_interpret
-            )
-            return o, s[:, -skip_size:]
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -193,7 +169,6 @@ class ResidualStack(nn.Module):
     kernel_size: int = 2
     base_dilation: int = 2
     in_channels: Optional[int] = None
-    use_pallas: bool = False
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -230,7 +205,6 @@ class ResidualStack(nn.Module):
                 gate_channels=self.gate_channels,
                 kernel_size=self.kernel_size,
                 dilation=dilation,
-                use_pallas=self.use_pallas,
                 dtype=self.dtype,
             )
             if self.remat:

@@ -55,7 +55,6 @@ class WaveNet(BaseModel):
     kernel_size: int = 2
     base_dilation: int = 2
     n_stack_frames: int = 1
-    use_pallas: bool = False
     remat: bool = False
     bf16: bool = False
 
@@ -83,7 +82,6 @@ class WaveNet(BaseModel):
             gate_channels=self.gate_channels,
             kernel_size=self.kernel_size,
             base_dilation=self.base_dilation,
-            use_pallas=self.use_pallas,
             remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else None,
         )
