@@ -135,6 +135,14 @@ class Conv1dResidualGLU(nn.Module):
             rs_kernel = rs_kernel.astype(self.dtype)
 
         def branch_conv(kernel, bias):
+            if self.kernel_size == 2:
+                # k=2 dilated VALID conv as two shifted matmuls:
+                # y[t] = k[0]ᵀ x[t] + k[1]ᵀ x[t+d]. Same math, but XLA lowers
+                # plain dots onto the MXU far better than the dilated-conv op
+                # here — measured 1.45× faster fwd+bwd on the 50-block bf16
+                # stack on v5e (63.2 vs 91.6 ms/step) and ~4× faster compiles.
+                d = self.dilation
+                return x[:, : x.shape[1] - d] @ kernel[0] + x[:, d:] @ kernel[1] + bias.astype(x.dtype)
             return jax.lax.conv_general_dilated(
                 x,
                 kernel,

@@ -154,7 +154,11 @@ class WaveNet(BaseModel):
             x = jnp.pad(x, ((0, 0), (self.receptive_field, 0), (0, 0)))
         else:
             skip_size = T - self.receptive_field
-            x_sl = x_sl - self.receptive_field
+            # clamp: inactive rows (sl=0 from static-shape chunking) must not
+            # go negative and pollute the Σ x_sl loss denominator — the
+            # reference never sees such rows because it drops them
+            # (operations.py drop_inactive)
+            x_sl = jnp.clip(x_sl - self.receptive_field, 0)
 
         if x.shape[1] - int(pad_causal) < self.receptive_field:
             raise InputSizeError(x.shape[1], self.receptive_field)

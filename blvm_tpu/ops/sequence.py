@@ -136,12 +136,24 @@ def _chunk_geometry(T: int, length: int, overlap: int, mode: str):
 
 def split_lengths(x_sl: np.ndarray, starts, stops, length: int):
     """Per-chunk sequence lengths: ``length`` while the example is still active,
-    the remainder in its final chunk, 0 after (reference ``operations.py:184-186``)."""
+    the remainder in the FIRST chunk that reaches its end, 0 after.
+
+    An example only counts as active in chunk ``i`` if it extends beyond chunk
+    ``i-1``'s end (``x_sl > stops[i-1]``) — the static-shape equivalent of the
+    reference's ``drop_inactive=True`` row dropping (``operations.py:179-190``).
+    Without this gate, an example ending inside chunk ``i-1`` would have its
+    tail frames (which fall in the overlap region of chunk ``i``) evaluated
+    AGAIN in chunk ``i``, double-counting them in split-eval totals.
+    """
     x_sl = np.asarray(x_sl)
     out = []
+    prev_stop = 0
     for start, stop in zip(starts, stops):
+        entered = x_sl > prev_stop  # has frames this chunk hasn't seen
         active_next = x_sl > stop
-        out.append(length * active_next + np.clip(x_sl - start, 0, None) * ~active_next)
+        sl = np.where(active_next, length, np.clip(x_sl - start, 0, None))
+        out.append(np.where(entered, sl, 0))
+        prev_stop = stop
     return out
 
 
@@ -198,9 +210,15 @@ def split_sequence_static(x, x_sl, length: int, overlap: int = 0, mode: str = "c
     chunks = jnp.stack([x[:, s : s + chunk_len] for s in starts])
     x_sl = jnp.asarray(x_sl)
     lens = []
+    prev_stop = 0
     for start, stop in zip(starts, stops):
+        # same entered-gate as split_lengths: no double-counting of tail
+        # frames in overlap regions
+        entered = x_sl > prev_stop
         active_next = x_sl > stop
-        lens.append(jnp.where(active_next, length, jnp.clip(x_sl - start, 0)))
+        sl = jnp.where(active_next, length, jnp.clip(x_sl - start, 0))
+        lens.append(jnp.where(entered, sl, 0))
+        prev_stop = stop
     return chunks, jnp.stack(lens)
 
 
