@@ -152,7 +152,7 @@ class VRNN(nn.Module):
             return mdl.cell(carry, x_t)
 
         scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=1, out_axes=1)
-        h_last, outs = scan(self, h, encoding)
+        _, outs = scan(self, h, encoding)
 
         # h sequence shifted: include initial h, drop last (reference vrnn.py:310-311)
         all_h = jnp.concatenate([h[:, None], outs["h"][:, :-1]], axis=1)  # (B, T', r_dim)
@@ -213,7 +213,10 @@ class VRNN(nn.Module):
             reconstructions=reconstruction,
             reconstructions_mode=reconstruction_mode,
             reconstructions_parameters=parameters,
-            h_n=h_last,
+            # reference quirk kept for split-eval parity: h_n is the h INPUT of
+            # the final step (all_h[-1] after the pop at vrnn.py:310-311), i.e.
+            # one update stale, not the post-step state
+            h_n=all_h[:, -1],
         )
         return loss, mets, outputs
 

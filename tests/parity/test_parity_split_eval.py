@@ -25,7 +25,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from tests.parity import reference_loader as ref  # noqa: E402
-from tests.parity import test_parity_srnn, test_parity_wavenet  # noqa: E402
+from tests.parity import test_parity_srnn, test_parity_vrnn, test_parity_wavenet  # noqa: E402
 
 try:
     ref.load_reference()
@@ -85,6 +85,54 @@ def test_wavenet_split_eval_parity():
         np.testing.assert_allclose(
             np.asarray(mets["log_prob"])[active], ref_out.log_prob.numpy(), rtol=1e-4, atol=1e-3,
             err_msg=f"chunk {i}",
+        )
+
+
+def test_vrnn_split_eval_state_carry_parity(monkeypatch):
+    """Reference VRNN driver split-eval: raw split_sequence chunks (overlap 0,
+    drop_inactive=False) with h0 = previous chunk's h_n
+    (experiment_vrnn_audio.py:252-257). The carried h_n is the reference's
+    one-step-stale final state (vrnn.py:310-311,367) — quirk kept."""
+    import torch
+
+    from blvm.utils.operations import split_sequence as ref_split
+
+    from blvm_tpu.ops.sequence import split_sequence as my_split
+
+    ref_model, model, params = test_parity_vrnn.build_pair(monkeypatch, "DMoL")
+
+    lengths = (96, 96)  # full-length: unmasked recurrences match trivially
+    T = max(lengths)
+    x = make_batch(41, lengths, T)
+    x_sl = np.asarray(lengths, np.int64)
+    length = 32
+    beta, free_nats = 0.9, 0.5
+
+    ref_splits, ref_sls = ref_split(
+        torch.from_numpy(x).unsqueeze(-1), torch.from_numpy(x_sl), length=length, overlap=0, drop_inactive=False
+    )
+    my_splits, my_sls = my_split(x[..., None], x_sl.astype(np.int32), length=length)
+    assert len(my_splits) == len(ref_splits) >= 2
+
+    fwd = jax.jit(
+        lambda p, xs, xs_sl, h0: model.apply(
+            {"params": p}, xs, xs_sl, h0=h0, beta=beta, free_nats=free_nats,
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+    )
+
+    ref_h0, my_h0 = None, None
+    for i, (rxs, rsl, mxs, msl) in enumerate(zip(ref_splits, ref_sls, my_splits, my_sls)):
+        with torch.no_grad():
+            ref_loss, _, ref_out = ref_model(rxs, rsl, h0=ref_h0, beta=beta, free_nats=free_nats)
+        loss, mets, out = fwd(params, jnp.asarray(np.asarray(mxs)), jnp.asarray(np.asarray(msl), jnp.int32), my_h0)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5, atol=1e-6, err_msg=f"chunk {i}")
+        np.testing.assert_allclose(
+            np.asarray(mets["elbo"]), ref_out.elbo.numpy(), rtol=1e-4, atol=1e-3, err_msg=f"chunk {i}"
+        )
+        ref_h0, my_h0 = ref_out.h_n, out.h_n
+        np.testing.assert_allclose(
+            np.asarray(my_h0), ref_h0.numpy(), rtol=1e-4, atol=1e-4, err_msg=f"h_n chunk {i}"
         )
 
 
