@@ -186,6 +186,8 @@ class CWVAE(nn.Module):
 
         encoder_right_pad = same_paddings if pad_same else [0] * self.num_levels
         encodings = self.encoder(x, pad_right=encoder_right_pad)  # list of (B, T_l, C)
+        # RSSM scans and the likelihood stay f32 regardless of coder dtype
+        encodings = [e.astype(jnp.float32) for e in encodings]
 
         states = (
             [(jnp.zeros((B, self.z_size[l])), jnp.zeros((B, self.h_size[l]))) for l in range(self.num_levels)]
@@ -238,6 +240,7 @@ class CWVAE(nn.Module):
             # context for the level below: decoder-upsampled [z, h]
             context_cat = jnp.concatenate([z_seq, h_seq], axis=-1)
             _, context = self.decoder.forward_level(context_cat, level=l, pad_right=same_paddings[l])
+            context = context.astype(jnp.float32)
 
         dec = context[:, : y.shape[1]]
         parameters = self.likelihood(dec)
@@ -344,6 +347,7 @@ class CWVAE(nn.Module):
 
             context_cat = jnp.concatenate([outs["z"], outs["h"]], axis=-1)
             _, context = self.decoder.forward_level(context_cat, level=l, pad_right=same_paddings[l])
+            context = context.astype(jnp.float32)
 
         parameters = self.likelihood(context[:, :max_timesteps])
         x_sample = self.likelihood.sample(self.make_rng("sample"), parameters)
@@ -368,6 +372,7 @@ class CWVAEAudio(BaseModel):
     likelihood: str = "DMoL"
     num_mix: int = 10
     num_bins: int = 256
+    bf16: bool = False
 
     def setup(self):
         num_levels = len(self.strides)
@@ -379,6 +384,7 @@ class CWVAEAudio(BaseModel):
 
         likelihood_module = self._make_likelihood()
 
+        coder_dtype = jnp.bfloat16 if self.bf16 else None
         encoder = ConvCoder1d(
             strides=tuple(self.strides),
             channels_in=1,
@@ -388,6 +394,7 @@ class CWVAEAudio(BaseModel):
             stride_per_block=self.stride_per_layer,
             transposed=False,
             block_type="BlockSeparable",
+            dtype=coder_dtype,
         )
         decoder = ConvCoder1d(
             strides=tuple(self.strides),
@@ -399,6 +406,7 @@ class CWVAEAudio(BaseModel):
             stride_per_block=self.stride_per_layer,
             transposed=True,
             block_type="BlockSeparable",
+            dtype=coder_dtype,
         )
 
         self.cwvae = CWVAE(

@@ -43,13 +43,18 @@ def conv_transpose1d(x, kernel, stride: int, dilation: int = 1, feature_group_co
 
 
 class _DepthwiseSeparable(nn.Module):
-    """Depthwise (k, stride, dilation) → act → GroupNorm → pointwise 1×1 (no bias)."""
+    """Depthwise (k, stride, dilation) → act → GroupNorm → pointwise 1×1 (no bias).
+
+    ``dtype`` is the compute dtype for the convs (params stay f32; GroupNorm
+    statistics promote back to f32 — the standard mixed-precision policy).
+    """
 
     out_channels: int
     kernel_size: int
     stride: int = 1
     dilation: int = 1
     transposed: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -57,6 +62,10 @@ class _DepthwiseSeparable(nn.Module):
         # depthwise kernel: (k, 1, C) with feature_group_count=C
         kernel = self.param("depthwise_kernel", conv_kernel_init, (self.kernel_size, 1, C))
         bias = self.param("depthwise_bias", nn.initializers.zeros, (C,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         if self.transposed:
             y = conv_transpose1d(x, kernel, self.stride, self.dilation, feature_group_count=C)
         else:
@@ -72,7 +81,7 @@ class _DepthwiseSeparable(nn.Module):
         y = y + bias
         y = nn.relu(y)
         y = nn.GroupNorm(num_groups=C, epsilon=1e-5)(y)
-        y = Conv1d(features=self.out_channels, kernel_size=1, use_bias=False)(y)
+        y = Conv1d(features=self.out_channels, kernel_size=1, use_bias=False, dtype=self.dtype)(y)
         return y
 
 
@@ -101,11 +110,12 @@ class BlockSeparable(nn.Module):
     transposed: bool
     channels_factor: int = 4
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         channels_block = self.channels_factor * self.channels_bottleneck
-        y = Conv1d(features=channels_block, kernel_size=1, use_bias=self.use_bias)(x)
+        y = Conv1d(features=channels_block, kernel_size=1, use_bias=self.use_bias, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.GroupNorm(num_groups=channels_block, epsilon=1e-5)(y)
         y = _DepthwiseSeparable(
@@ -114,8 +124,9 @@ class BlockSeparable(nn.Module):
             stride=self.stride,
             dilation=self.dilation,
             transposed=self.transposed,
+            dtype=self.dtype,
         )(y)
-        return TemporalResidual.add(x, y)
+        return TemporalResidual.add(x, y.astype(x.dtype))
 
 
 class BlockSimple(nn.Module):
@@ -125,15 +136,20 @@ class BlockSimple(nn.Module):
     dilation: int
     transposed: bool
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         if self.transposed:
             kernel = self.param("kernel", conv_kernel_init, (self.kernel_size, x.shape[-1], self.channels))
+            if self.dtype is not None:
+                kernel = kernel.astype(self.dtype)
+                x = x.astype(self.dtype)
             y = conv_transpose1d(x, kernel, self.stride, self.dilation)
         else:
             y = Conv1d(
-                features=self.channels, kernel_size=self.kernel_size, dilation=self.dilation, use_bias=self.use_bias
+                features=self.channels, kernel_size=self.kernel_size, dilation=self.dilation,
+                use_bias=self.use_bias, dtype=self.dtype,
             )(x[:, :: 1])
             # strided VALID conv
             y = y[:, :: self.stride] if self.stride > 1 else y
@@ -155,6 +171,7 @@ class ConvCoder1d(nn.Module):
     channels_out: Union[int, Sequence[Optional[int]], None] = None
     transposed: bool = False
     block_type: str = "BlockSeparable"
+    dtype: Optional[jnp.dtype] = None
 
     @staticmethod
     def level_geometry(strides, kernel_size, stride_per_block, num_blocks, dilation_factor=1):
@@ -247,6 +264,7 @@ class ConvCoder1d(nn.Module):
                             stride=s,
                             dilation=d,
                             transposed=self.transposed,
+                            dtype=self.dtype,
                         )
                     )
                 else:
@@ -257,6 +275,7 @@ class ConvCoder1d(nn.Module):
                             stride=s,
                             dilation=d,
                             transposed=self.transposed,
+                            dtype=self.dtype,
                         )
                     )
             if self.transposed:
@@ -268,12 +287,12 @@ class ConvCoder1d(nn.Module):
         cin = self._channels_in_list()
         cout = self._channels_out_list()
         self.in_projs = {
-            str(l): Conv1d(features=self.channels, kernel_size=1, name=f"in_proj_{l}")
+            str(l): Conv1d(features=self.channels, kernel_size=1, name=f"in_proj_{l}", dtype=self.dtype)
             for l, c in enumerate(cin)
             if c is not None
         }
         self.out_projs = {
-            str(l): Conv1d(features=c, kernel_size=1, name=f"out_proj_{l}")
+            str(l): Conv1d(features=c, kernel_size=1, name=f"out_proj_{l}", dtype=self.dtype)
             for l, c in enumerate(cout)
             if c is not None
         }

@@ -41,6 +41,8 @@ def build_args():
     model_group.add_argument("--free_nats_steps", default=0, type=int)
     model_group.add_argument("--free_nats_start_value", default=2.0, type=float)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
+    # --bf16 comes from the shared setup group (utils/argparsers.py): here it
+    # selects bf16 conv coders (RSSM scans stay f32)
     return parser.parse_args()
 
 
@@ -65,6 +67,7 @@ def main():
         likelihood=args.likelihood,
         num_mix=args.num_mix,
         num_bins=2**args.num_bits,
+        bf16=args.bf16,
     )
 
     annealers = dict(

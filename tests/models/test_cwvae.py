@@ -134,6 +134,19 @@ class TestForward:
         # the final active chunk must reach the end of the sequence
         assert np.any(lens[-1] > 0)
 
+    def test_bf16_coders_share_params_and_match_f32(self):
+        """bf16 conv coders (RSSM scans and likelihood stay f32) must accept
+        the f32 param tree and stay numerically close."""
+        model = make_model()
+        x = jnp.asarray(np.random.default_rng(8).uniform(-1, 1, (2, 64)), jnp.float32)
+        x_sl = jnp.array([64, 48])
+        variables, (loss32, _, _) = init_and_apply(model, x, x_sl)
+        loss16, _, _ = make_model(bf16=True).apply(
+            variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        assert np.isfinite(float(loss16))
+        assert abs(float(loss16) - float(loss32)) < 0.05
+
     def test_forward_split_chain_with_state_carry(self):
         """Chunked eval: forward_split over split_sequence chunks, threading the
         per-level (z, h) states.
