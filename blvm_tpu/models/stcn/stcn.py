@@ -235,7 +235,9 @@ class STCN(BaseModel):
             x = jnp.pad(x, ((0, 0), (self.receptive_field, 0), (0, 0)))
         else:
             T = x.shape[1] - self.receptive_field
-            x_sl = x_sl - self.n_stack_frames * self.receptive_field
+            # clamp like WaveNet: zero-length rows from static-shape chunking
+            # must not go negative and pollute the loss denominator
+            x_sl = jnp.clip(x_sl - self.n_stack_frames * self.receptive_field, 0)
             if x.shape[1] <= self.receptive_field:
                 raise ValueError(f"Input must be at least as long as the receptive field if {pad_receptive_field=}")
 
@@ -336,6 +338,22 @@ class STCN(BaseModel):
             *klds_bpz,
             *klds_bpx,
         ]
+
+    def split_sequence(self, x, x_sl, length: int):
+        """Chunk a long sequence for memory-constrained forward (WaveNet
+        pattern: overlap = the receptive field consumed by pad-free chunks).
+        The reference STCN raises NotImplementedError here (stcn.py:328) —
+        chunked STCN eval is a capability added beyond the reference."""
+        from blvm_tpu.ops.padding import get_modulo_length, pad_to_length
+        from blvm_tpu.ops.sequence import split_sequence
+
+        overlap = self.receptive_field * self.n_stack_frames
+        length = get_modulo_length(length, stride=self.n_stack_frames)
+        mode = "extend" if overlap >= length else "consume"
+        splits_x, splits_x_sl = split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
+        if mode == "extend":
+            splits_x = [pad_to_length(split_x, overlap + length, "left", axis=1) for split_x in splits_x]
+        return splits_x, splits_x_sl
 
     def forward_split(self, x, x_sl, i_split: int, y=None):
         return self(x, x_sl, y=y, pad_receptive_field=(i_split == 0))

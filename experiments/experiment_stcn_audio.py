@@ -2,6 +2,7 @@
 ``experiments/experiment_stcn_audio.py``)."""
 
 import jax
+import jax.numpy as jnp
 
 from blvm_tpu.models import STCN
 from blvm_tpu.training import CosineAnnealer
@@ -83,10 +84,37 @@ def run(args):
 
     from blvm_tpu.parallel import STCN_TP_RULES
 
+    # chunked evaluation with receptive-field overlap (first chunk rf-padded;
+    # the reference STCN cannot split-eval at all — stcn.py:328)
+    @jax.jit
+    def eval_chunk_first(params, rng, x, x_sl, beta, free_nats):
+        _, mets, _ = model.apply(
+            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats,
+            pad_receptive_field=True, rngs={"sample": rng},
+        )
+        return mets
+
+    @jax.jit
+    def eval_chunk_rest(params, rng, x, x_sl, beta, free_nats):
+        _, mets, _ = model.apply(
+            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats,
+            pad_receptive_field=False, rngs={"sample": rng},
+        )
+        return mets
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
+        beta = scalars.get("beta", 1.0)
+        free_nats = scalars.get("free_nats", 0.0)
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            fn = eval_chunk_first if i == 0 else eval_chunk_rest
+            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl), beta, free_nats)
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
-        tp_rules=STCN_TP_RULES,
+        tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval,
     )
 
 

@@ -96,6 +96,43 @@ class TestForward:
         assert np.isfinite(loss)
 
 
+class TestSplitEval:
+    def test_chunked_forward_covers_every_frame_once(self):
+        """Chunked eval (capability beyond the reference, which raises
+        NotImplementedError — stcn.py:328): rf-overlap chunks, first chunk
+        rf-padded. The adjusted per-chunk lengths must partition Σ x_sl —
+        every waveform frame scored exactly once."""
+        model = make_model()
+        rf = model.receptive_field
+        B = 2
+        lengths = (3 * rf + 20, 2 * rf + 5)
+        T = max(lengths)
+        rng = np.random.default_rng(12)
+        x = np.asarray(rng.uniform(-1, 1, (B, T)), np.float32)
+        x[1, lengths[1]:] = 0.0
+        x_sl = np.asarray(lengths, np.int32)
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x), jnp.asarray(x_sl)
+        )
+        chunks, lens = model.split_sequence(x[..., None], x_sl, length=rf + 24)
+        assert len(chunks) >= 2
+
+        total_scored = 0
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            loss, mets, _ = model.apply(
+                variables,
+                jnp.asarray(np.asarray(xs)),
+                jnp.asarray(np.asarray(sl), jnp.int32),
+                i_split=i,
+                rngs={"sample": jax.random.PRNGKey(3 + i)},
+                method=STCN.forward_split,
+            )
+            assert np.isfinite(float(loss)), f"chunk {i}"
+            total_scored += int(np.asarray(mets["x_sl"]).sum())
+        assert total_scored == int(x_sl.sum())
+
+
 class TestTraining:
     def test_loss_decreases(self):
         model = make_model(n_layers=2, latent_size=(8,), res_channels=8)

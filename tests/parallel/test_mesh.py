@@ -47,3 +47,17 @@ class TestMesh:
         shards = [shard_examples_by_process(examples, pi, 3) for pi in range(3)]
         assert sorted(sum(shards, [])) == examples
         assert all(len(s) >= 3 for s in shards)
+
+    def test_make_global_batch_single_process(self):
+        """Single-host make_global_batch must equal shard_batch (the multi-host
+        path is exercised by test_multihost.py)."""
+        from blvm_tpu.parallel import make_global_batch
+
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2), "scalar": np.float32(3.0)}
+        global_batch = make_global_batch(batch, mesh)
+        assert global_batch["x"].sharding.is_equivalent_to(batch_sharding(mesh), ndim=2)
+        assert global_batch["scalar"].sharding.is_equivalent_to(replicated_sharding(mesh), ndim=0)
+        np.testing.assert_array_equal(np.asarray(global_batch["x"]), batch["x"])
+        total = jax.jit(lambda b: b["x"].sum())(global_batch)
+        assert float(total) == batch["x"].sum()
