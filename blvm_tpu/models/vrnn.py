@@ -222,12 +222,18 @@ class VRNN(nn.Module):
 
 
 class VRNNAudio(BaseModel):
-    """VRNN over raw waveforms with frame stacking (reference ``vrnn.py:437-545``)."""
+    """VRNN over raw waveforms with frame stacking (reference ``vrnn.py:437-545``).
+
+    ``r_dim`` (GRU state size, default ``2*hidden_size``) is exposed here
+    unlike the reference's audio wrapper — its VRNN core takes it but
+    VRNNAudio never forwards it (vrnn.py:437-449).
+    """
 
     likelihood: str = "DMoL"
     input_size: int = 200
     hidden_size: int = 256
     latent_size: int = 64
+    r_dim: Optional[int] = None
     residual_posterior: bool = False
     condition_h_on_x: bool = True
     condition_x_on_h: bool = True
@@ -249,6 +255,7 @@ class VRNNAudio(BaseModel):
             x_dim=self.hidden_size,
             h_dim=self.hidden_size,
             z_dim=self.latent_size,
+            r_dim=self.r_dim,
             residual_posterior=self.residual_posterior,
             condition_h_on_x=self.condition_h_on_x,
             condition_x_on_h=self.condition_x_on_h,

@@ -109,6 +109,22 @@ class TestLikelihoods:
 
 
 class TestGenerate:
+    def test_generate_with_custom_r_dim(self):
+        """Regression (VERDICT round-1 #9): generate's initial state must use
+        the model's r_dim rule, not a hardcoded 2*hidden_size."""
+        model = VRNNAudio(likelihood="DMoL", input_size=8, hidden_size=16, latent_size=4, r_dim=24)
+        x = jnp.zeros((2, 32))
+        x_sl = jnp.array([32, 32])
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+        _, _, out = model.apply(variables, x, x_sl, rngs={"sample": jax.random.PRNGKey(2)})
+        assert out.h_n.shape == (2, 24)
+        (x_out, _), _ = model.apply(
+            variables, n_samples=2, max_timesteps=3, rngs={"sample": jax.random.PRNGKey(3)},
+            method=VRNNAudio.generate,
+        )
+        assert x_out.shape == (2, 3 * 8, 1)
+        assert np.all(np.isfinite(np.asarray(x_out)))
+
     def test_generate_shapes(self, model, params):
         (x_out, x_sl), _ = model.apply(
             {"params": params},
