@@ -79,6 +79,12 @@ def analytic_flops_per_step(receptive_field: int) -> tuple[float, float]:
 
 
 def main():
+    try:  # persistent compile cache if the backend supports it (harmless if not)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from blvm_tpu.models import WaveNet
     from blvm_tpu.parallel import make_mesh, make_train_step
     from blvm_tpu.training import TrainState, get_optimizer
