@@ -136,13 +136,17 @@ class Conv1dResidualGLU(nn.Module):
 
         def branch_conv(kernel, bias):
             if self.kernel_size == 2:
-                # k=2 dilated VALID conv as two shifted matmuls:
-                # y[t] = k[0]ᵀ x[t] + k[1]ᵀ x[t+d]. Same math, but XLA lowers
-                # plain dots onto the MXU far better than the dilated-conv op
-                # here — measured 1.45× faster fwd+bwd on the 50-block bf16
-                # stack on v5e (63.2 vs 91.6 ms/step) and ~4× faster compiles.
+                # k=2 dilated VALID conv as two matmuls with the time shift
+                # applied to the OUTPUTS: y[t] = k[0]ᵀ x[t] + k[1]ᵀ x[t+d].
+                # Plain dots lower onto the MXU far better than the
+                # dilated-conv op (1.45× fwd+bwd on the 50-block bf16 stack),
+                # and slicing after the matmul instead of before removes the
+                # materialized shifted-operand copies the profiler showed at
+                # 17% of step time (56.2 vs 63.2 ms/step, ~2× faster compile).
                 d = self.dilation
-                return x[:, : x.shape[1] - d] @ kernel[0] + x[:, d:] @ kernel[1] + bias.astype(x.dtype)
+                y0 = x @ kernel[0]
+                y1 = x @ kernel[1]
+                return y0[:, : x.shape[1] - d] + y1[:, d:] + bias.astype(x.dtype)
             return jax.lax.conv_general_dilated(
                 x,
                 kernel,
