@@ -57,7 +57,7 @@ PEAKS_BF16 = {
 DEFAULT_PEAK = 197e12  # assume v5e-class if unrecognized
 
 
-def analytic_flops_per_step(receptive_field: int) -> tuple[float, float]:
+def analytic_flops_per_step() -> tuple[float, float]:
     """(forward_lower_bound, train_estimate) FLOPs per train step.
 
     Counts only the MXU work (convs/denses; 2 FLOPs per MAC). The dilated
@@ -152,7 +152,7 @@ def main():
     device = jax.devices()[0]
     kind = getattr(device, "device_kind", "unknown")
     peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
-    fwd_flops, train_flops = analytic_flops_per_step(model.receptive_field)
+    fwd_flops, train_flops = analytic_flops_per_step()
 
     timing_mode = "async_chain"
     per_step = per_step_b

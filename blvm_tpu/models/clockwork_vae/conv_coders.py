@@ -142,10 +142,11 @@ class BlockSimple(nn.Module):
     def __call__(self, x):
         if self.transposed:
             kernel = self.param("kernel", conv_kernel_init, (self.kernel_size, x.shape[-1], self.channels))
+            xc = x
             if self.dtype is not None:
                 kernel = kernel.astype(self.dtype)
-                x = x.astype(self.dtype)
-            y = conv_transpose1d(x, kernel, self.stride, self.dilation)
+                xc = x.astype(self.dtype)  # residual operand x stays f32
+            y = conv_transpose1d(xc, kernel, self.stride, self.dilation)
         else:
             y = Conv1d(
                 features=self.channels, kernel_size=self.kernel_size, dilation=self.dilation,
@@ -155,7 +156,7 @@ class BlockSimple(nn.Module):
             y = y[:, :: self.stride] if self.stride > 1 else y
         y = nn.GroupNorm(num_groups=self.channels, epsilon=1e-5)(y)
         y = nn.relu(y)
-        return TemporalResidual.add(x, y)
+        return TemporalResidual.add(x, y.astype(x.dtype))
 
 
 class ConvCoder1d(nn.Module):

@@ -114,12 +114,10 @@ class STCN(BaseModel):
         self.priors = heads_p
         self.posteriors = heads_q
 
-        out_in = sum(self.latent_size) if self.dense else self.latent_size[0]
         self.out_transform = ResidualStack(
             n_layers=self.n_layers,
             n_stacks=1,
             res_channels=self.res_channels,
-            in_channels=out_in,
             kernel_size=self.kernel_size,
             base_dilation=1,
         )
@@ -344,16 +342,16 @@ class STCN(BaseModel):
         pattern: overlap = the receptive field consumed by pad-free chunks).
         The reference STCN raises NotImplementedError here (stcn.py:328) —
         chunked STCN eval is a capability added beyond the reference."""
-        from blvm_tpu.ops.padding import get_modulo_length, pad_to_length
+        from blvm_tpu.ops.padding import get_modulo_length
         from blvm_tpu.ops.sequence import split_sequence
 
         overlap = self.receptive_field * self.n_stack_frames
         length = get_modulo_length(length, stride=self.n_stack_frames)
         mode = "extend" if overlap >= length else "consume"
-        splits_x, splits_x_sl = split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
-        if mode == "extend":
-            splits_x = [pad_to_length(split_x, overlap + length, "left", axis=1) for split_x in splits_x]
-        return splits_x, splits_x_sl
+        # extend mode: chunk 0 stays unpadded (first-chunk rf padding supplies
+        # the empty history); later chunks carry their overlap context — see
+        # WaveNet.split_sequence for why the reference's left-pad is a bug
+        return split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
 
     def forward_split(self, x, x_sl, i_split: int, y=None):
         return self(x, x_sl, y=y, pad_receptive_field=(i_split == 0))

@@ -180,7 +180,6 @@ class ResidualStack(nn.Module):
     gate_channels: Optional[int] = None
     kernel_size: int = 2
     base_dilation: int = 2
-    in_channels: Optional[int] = None
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
 

@@ -30,7 +30,7 @@ from blvm_tpu.evaluation.metrics import BitsPerDimMetric, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.models.wavenet.modules import CausalConv1d, PointwiseTransform, ResidualStack
 from blvm_tpu.modules.distributions import get_likelihood_head
-from blvm_tpu.ops.padding import get_modulo_length, pad_to_length
+from blvm_tpu.ops.padding import get_modulo_length
 from blvm_tpu.ops.sequence import sequence_mask, split_sequence, stack_tensor, unstack_tensor
 
 
@@ -154,11 +154,13 @@ class WaveNet(BaseModel):
             x = jnp.pad(x, ((0, 0), (self.receptive_field, 0), (0, 0)))
         else:
             skip_size = T - self.receptive_field
-            # clamp: inactive rows (sl=0 from static-shape chunking) must not
-            # go negative and pollute the Σ x_sl loss denominator — the
-            # reference never sees such rows because it drops them
-            # (operations.py drop_inactive)
-            x_sl = jnp.clip(x_sl - self.receptive_field, 0)
+            # x_sl is in the SAMPLE domain: the stack-domain receptive field
+            # consumes rf * n_stack_frames samples (matching the y slice
+            # above). Clamp at 0: inactive rows (sl=0 from static-shape
+            # chunking) must not go negative and pollute the Σ x_sl loss
+            # denominator — the reference never sees such rows because it
+            # drops them (operations.py drop_inactive)
+            x_sl = jnp.clip(x_sl - self.n_stack_frames * self.receptive_field, 0)
 
         if x.shape[1] - int(pad_causal) < self.receptive_field:
             raise InputSizeError(x.shape[1], self.receptive_field)
@@ -212,10 +214,13 @@ class WaveNet(BaseModel):
         overlap = self.receptive_field * self.n_stack_frames
         length = get_modulo_length(length, stride=self.n_stack_frames)
         mode = "extend" if overlap >= length else "consume"
-        splits_x, splits_x_sl = split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
-        if mode == "extend":
-            splits_x = [pad_to_length(split_x, overlap + length, "left", axis=1) for split_x in splits_x]
-        return splits_x, splits_x_sl
+        # Extend mode: chunk 0 stays unpadded (forward_split's first-chunk
+        # rf-padding supplies the empty history), later chunks carry their
+        # overlap-length context. The reference instead left-pads chunk 0 with
+        # zeros and then evaluates the zeros under a left-aligned mask
+        # (wavenet.py:240-242 + operations.py:188) — its extend path scores
+        # the wrong frames; fixed, not ported.
+        return split_sequence(x, x_sl, length=length, overlap=overlap, mode=mode)
 
     def forward_split(self, x, x_sl, i_split: int, y=None):
         return self(x, x_sl, y=y, pad_causal=True, pad_receptive_field=(i_split == 0))

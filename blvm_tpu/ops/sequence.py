@@ -134,16 +134,25 @@ def _chunk_geometry(T: int, length: int, overlap: int, mode: str):
     return starts, stops
 
 
-def split_lengths(x_sl: np.ndarray, starts, stops, length: int):
-    """Per-chunk sequence lengths: ``length`` while the example is still active,
-    the remainder in the FIRST chunk that reaches its end, 0 after.
+def split_lengths(x_sl: np.ndarray, starts, stops):
+    """Per-chunk sequence lengths: the chunk's full data length while the
+    example is still active, the remainder in the FIRST chunk that reaches its
+    end, 0 after.
+
+    The active length is ``stop - start`` — the data the chunk actually holds.
+    In consume mode that equals ``length``; in extend mode it is ``length``
+    for chunk 0 and ``length + overlap`` for later chunks, so a model that
+    subtracts its receptive-field overlap from the chunk lengths scores
+    exactly ``length`` new frames per chunk (the reference instead reported
+    ``length`` regardless of mode — operations.py:188 — which makes its own
+    extend path score 0 frames per middle chunk; bug fixed, not ported).
 
     An example only counts as active in chunk ``i`` if it extends beyond chunk
-    ``i-1``'s end (``x_sl > stops[i-1]``) — the static-shape equivalent of the
-    reference's ``drop_inactive=True`` row dropping (``operations.py:179-190``).
-    Without this gate, an example ending inside chunk ``i-1`` would have its
-    tail frames (which fall in the overlap region of chunk ``i``) evaluated
-    AGAIN in chunk ``i``, double-counting them in split-eval totals.
+    ``i-1``'s new-frame boundary (``x_sl > stops[i-1]``) — the static-shape
+    equivalent of the reference's ``drop_inactive=True`` row dropping
+    (``operations.py:179-190``). Without this gate, an example ending inside
+    chunk ``i-1`` would have its tail frames (which fall in the overlap region
+    of chunk ``i``) evaluated AGAIN in chunk ``i``.
     """
     x_sl = np.asarray(x_sl)
     out = []
@@ -151,7 +160,7 @@ def split_lengths(x_sl: np.ndarray, starts, stops, length: int):
     for start, stop in zip(starts, stops):
         entered = x_sl > prev_stop  # has frames this chunk hasn't seen
         active_next = x_sl > stop
-        sl = np.where(active_next, length, np.clip(x_sl - start, 0, None))
+        sl = np.where(active_next, stop - start, np.clip(x_sl - start, 0, None))
         out.append(np.where(entered, sl, 0))
         prev_stop = stop
     return out
@@ -170,13 +179,21 @@ def split_sequence(
     dropping — static shapes for XLA); examples that have ended have chunk
     length 0 and should be masked by the model via ``sequence_mask``. Trailing
     chunks where no example is active are omitted.
+
+    In extend mode, chunks after the first whose overlap context is truncated
+    by the sequence start (``i*length < overlap``) are LEFT-padded with zeros
+    to the uniform ``length + overlap`` and the pad is counted in their
+    lengths: the zero history is exactly what a receptive-field-padded full
+    forward synthesizes for those positions, and a consumer subtracting its
+    receptive field then scores exactly the chunk's new frames. Chunk 0 stays
+    data-only (consumers rf-pad it themselves via their first-chunk path).
     """
     x = np.asarray(x)
     starts, stops = _chunk_geometry(x.shape[1], length, overlap, mode)
-    lens = split_lengths(x_sl, starts, stops, length)
+    lens = split_lengths(x_sl, starts, stops)
 
     chunks, chunk_lens = [], []
-    for (start, stop), sl in zip(zip(starts, stops), lens):
+    for i, ((start, stop), sl) in enumerate(zip(zip(starts, stops), lens)):
         if not np.any(sl > 0):
             break
         chunk = x[:, start:stop]
@@ -184,6 +201,12 @@ def split_sequence(
             pad = [(0, 0)] * x.ndim
             pad[1] = (0, stop - start - chunk.shape[1])
             chunk = np.pad(chunk, pad)
+        if mode == "extend" and i > 0 and stop - start < length + overlap:
+            left = length + overlap - (stop - start)
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (left, 0)
+            chunk = np.pad(chunk, pad)
+            sl = np.where(sl > 0, sl + left, 0)
         chunks.append(chunk)
         chunk_lens.append(sl)
     return chunks, chunk_lens
@@ -199,7 +222,6 @@ def split_sequence_static(x, x_sl, length: int, overlap: int = 0, mode: str = "c
     x = jnp.asarray(x)
     B, T = x.shape[0], x.shape[1]
     starts, stops = _chunk_geometry(T, length, overlap, mode)
-    chunk_len = stops[0] - starts[0]
 
     pad_to = stops[-1]
     if pad_to > T:
@@ -207,7 +229,21 @@ def split_sequence_static(x, x_sl, length: int, overlap: int = 0, mode: str = "c
         pad[1] = (0, pad_to - T)
         x = jnp.pad(x, pad)
 
-    chunks = jnp.stack([x[:, s : s + chunk_len] for s in starts])
+    # uniform chunk length for the stacked scan form: extend-mode chunk 0 is
+    # shorter than the rest, so LEFT-pad it with zeros — consumers must then
+    # treat every chunk (incl. the first) as receptive-field-prefixed, i.e.
+    # run with pad_receptive_field=False; the zero prefix supplies the empty
+    # history and the per-chunk lengths below include it.
+    chunk_len = max(stop - start for start, stop in zip(starts, stops))
+    rows = []
+    for start, stop in zip(starts, stops):
+        row = x[:, start : start + (stop - start)]
+        if stop - start < chunk_len:
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (chunk_len - (stop - start), 0)
+            row = jnp.pad(row, pad)
+        rows.append(row)
+    chunks = jnp.stack(rows)
     x_sl = jnp.asarray(x_sl)
     lens = []
     prev_stop = 0
@@ -216,7 +252,8 @@ def split_sequence_static(x, x_sl, length: int, overlap: int = 0, mode: str = "c
         # frames in overlap regions
         entered = x_sl > prev_stop
         active_next = x_sl > stop
-        sl = jnp.where(active_next, length, jnp.clip(x_sl - start, 0))
+        left_pad = chunk_len - (stop - start)
+        sl = jnp.where(active_next, stop - start, jnp.clip(x_sl - start, 0)) + left_pad
         lens.append(jnp.where(entered, sl, 0))
         prev_stop = stop
     return chunks, jnp.stack(lens)

@@ -132,6 +132,44 @@ class TestSplitEval:
             total_scored += int(np.asarray(mets["x_sl"]).sum())
         assert total_scored == int(x_sl.sum())
 
+    def test_extend_mode_chunks_cover_every_frame_once(self):
+        """Segment length below the receptive field forces extend-mode
+        chunking (overlap >= length). Regression: extend-mode chunk lengths
+        previously reported ``length`` for chunks that physically hold
+        ``length + overlap`` frames, so middle chunks scored 0 frames after
+        the model's rf subtraction (the reference's own extend path has the
+        same defect — operations.py:188)."""
+        model = make_model()
+        rf = model.receptive_field
+        B = 2
+        lengths = (3 * rf + 2, 2 * rf + 1)
+        T = max(lengths)
+        rng = np.random.default_rng(13)
+        x = np.asarray(rng.uniform(-1, 1, (B, T)), np.float32)
+        x[1, lengths[1]:] = 0.0
+        x_sl = np.asarray(lengths, np.int32)
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x), jnp.asarray(x_sl)
+        )
+        chunks, lens = model.split_sequence(x[..., None], x_sl, length=rf // 2)
+        assert len(chunks) >= 3
+        assert chunks[0].shape[1] < chunks[1].shape[1]  # chunk 0 is data-only
+
+        total_scored = 0
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            loss, mets, _ = model.apply(
+                variables,
+                jnp.asarray(np.asarray(xs)),
+                jnp.asarray(np.asarray(sl), jnp.int32),
+                i_split=i,
+                rngs={"sample": jax.random.PRNGKey(3 + i)},
+                method=STCN.forward_split,
+            )
+            assert np.isfinite(float(loss)), f"chunk {i}"
+            total_scored += int(np.asarray(mets["x_sl"]).sum())
+        assert total_scored == int(x_sl.sum())
+
 
 class TestTraining:
     def test_loss_decreases(self):

@@ -151,6 +151,95 @@ class TestFrameStacking:
         assert out.predictions.shape[1] == T
 
 
+class TestChunkedEval:
+    @staticmethod
+    def _chunk_and_score(model, x, x_sl, length):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x), jnp.asarray(x_sl)
+        )
+        chunks, lens = model.split_sequence(x, x_sl, length=length)  # (B, T) like the drivers
+        total = 0
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            loss, mets, _ = model.apply(
+                variables,
+                jnp.asarray(np.asarray(xs)),
+                jnp.asarray(np.asarray(sl), jnp.int32),
+                i_split=i,
+                rngs={"sample": jax.random.PRNGKey(3 + i)},
+                method=WaveNet.forward_split,
+            )
+            assert np.isfinite(float(loss)), f"chunk {i}"
+            total += int(np.asarray(mets["x_sl"]).sum())
+        return len(chunks), total
+
+    def test_frame_stacked_chunks_cover_every_sample_once(self):
+        """Regression: the unpadded path subtracted only rf from the
+        sample-domain x_sl instead of rf * n_stack_frames, over-counting
+        rf*(s-1) samples per non-first chunk."""
+        model = make_model(n_stack_frames=4)
+        rf_samples = model.receptive_field * 4
+        lengths = (3 * rf_samples + 8, 2 * rf_samples + 4)
+        T = max(lengths)
+        rng = np.random.default_rng(21)
+        x = np.asarray(rng.uniform(-1, 1, (2, T)), np.float32)
+        x[1, lengths[1]:] = 0.0
+        x_sl = np.asarray(lengths, np.int32)
+        n_chunks, total = self._chunk_and_score(model, x, x_sl, length=rf_samples + 16)
+        assert n_chunks >= 2
+        assert total == int(x_sl.sum())
+
+    def test_extend_mode_chunks_cover_every_sample_once(self):
+        """length < rf forces extend mode; every sample scored exactly once."""
+        model = make_model()
+        rf = model.receptive_field
+        lengths = (3 * rf + 2, 2 * rf + 1)
+        T = max(lengths)
+        rng = np.random.default_rng(22)
+        x = np.asarray(rng.uniform(-1, 1, (2, T)), np.float32)
+        x[1, lengths[1]:] = 0.0
+        x_sl = np.asarray(lengths, np.int32)
+        n_chunks, total = self._chunk_and_score(model, x, x_sl, length=rf // 2)
+        assert n_chunks >= 3
+        assert total == int(x_sl.sum())
+
+    @pytest.mark.parametrize("mode_length", ["consume", "extend"])
+    def test_chunked_log_prob_equals_full_forward(self, mode_length):
+        """Chunked eval must reproduce the full forward's Σ log-prob EXACTLY
+        (deterministic likelihood; rf-overlap context is complete in both
+        chunking modes)."""
+        model = make_model()
+        rf = model.receptive_field
+        lengths = (3 * rf + 20, 2 * rf + 5)
+        T = max(lengths)
+        rng = np.random.default_rng(23)
+        x = np.asarray(rng.uniform(-1, 1, (2, T)), np.float32)
+        x[1, lengths[1]:] = 0.0
+        x_sl = np.asarray(lengths, np.int32)
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x), jnp.asarray(x_sl)
+        )
+        _, mets_full, _ = model.apply(
+            variables, jnp.asarray(x), jnp.asarray(x_sl), rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        full_lp = float(np.asarray(mets_full["log_prob"]).sum())
+
+        length = rf + 24 if mode_length == "consume" else rf // 2
+        chunks, lens = model.split_sequence(x, x_sl, length=length)
+        total_lp = 0.0
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            _, mets, _ = model.apply(
+                variables,
+                jnp.asarray(np.asarray(xs)),
+                jnp.asarray(np.asarray(sl), jnp.int32),
+                i_split=i,
+                rngs={"sample": jax.random.PRNGKey(3)},
+                method=WaveNet.forward_split,
+            )
+            total_lp += float(np.asarray(mets["log_prob"]).sum())
+        np.testing.assert_allclose(total_lp, full_lp, rtol=1e-6, atol=1e-3)
+
+
 class TestGenerate:
     def test_generate_shapes_and_range(self):
         model = make_model()
