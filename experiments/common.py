@@ -350,3 +350,37 @@ def _log_reconstructions(outputs, decode_transform, run_dir: Path, epoch: int, s
         rec = decode_transform(rec)
         for i in range(min(2, rec.shape[0])):
             save_wav(audio_dir / f"epoch{epoch:04d}_{tag}_{i}.wav", rec[i], sample_rate)
+
+def make_rf_chunked_eval(model, args, scalar_names=()):
+    """Chunked eval for feedforward conv models (WaveNet/STCN pattern):
+    receptive-field-overlap chunks, first chunk rf-padded, no carried state.
+    ``scalar_names`` are annealer scalars threaded into the forward (e.g.
+    ``("beta", "free_nats")`` for ELBO models). Returns a ``state_carry_eval``
+    callback for :func:`run_audio_training`.
+    """
+
+    @jax.jit
+    def _chunk_first(params, rng, x, x_sl, scalar_values):
+        _, mets, _ = model.apply(
+            {"params": params}, x, x_sl, pad_receptive_field=True, rngs={"sample": rng},
+            **dict(zip(scalar_names, scalar_values)),
+        )
+        return mets
+
+    @jax.jit
+    def _chunk_rest(params, rng, x, x_sl, scalar_values):
+        _, mets, _ = model.apply(
+            {"params": params}, x, x_sl, pad_receptive_field=False, rngs={"sample": rng},
+            **dict(zip(scalar_names, scalar_values)),
+        )
+        return mets
+
+    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
+        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
+        values = tuple(scalars.get(name, 1.0 if name == "beta" else 0.0) for name in scalar_names)
+        for i, (xs, sl) in enumerate(zip(chunks, lens)):
+            fn = _chunk_first if i == 0 else _chunk_rest
+            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl), values)
+            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+
+    return state_carry_eval

@@ -9,7 +9,7 @@ from blvm_tpu.training import CosineAnnealer
 from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 
-from common import build_audio_pipeline, run_audio_training
+from common import build_audio_pipeline, make_rf_chunked_eval, run_audio_training
 
 
 def build_args():
@@ -86,30 +86,7 @@ def run(args):
 
     # chunked evaluation with receptive-field overlap (first chunk rf-padded;
     # the reference STCN cannot split-eval at all — stcn.py:328)
-    @jax.jit
-    def eval_chunk_first(params, rng, x, x_sl, beta, free_nats):
-        _, mets, _ = model.apply(
-            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats,
-            pad_receptive_field=True, rngs={"sample": rng},
-        )
-        return mets
-
-    @jax.jit
-    def eval_chunk_rest(params, rng, x, x_sl, beta, free_nats):
-        _, mets, _ = model.apply(
-            {"params": params}, x, x_sl, beta=beta, free_nats=free_nats,
-            pad_receptive_field=False, rngs={"sample": rng},
-        )
-        return mets
-
-    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
-        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
-        beta = scalars.get("beta", 1.0)
-        free_nats = scalars.get("free_nats", 0.0)
-        for i, (xs, sl) in enumerate(zip(chunks, lens)):
-            fn = eval_chunk_first if i == 0 else eval_chunk_rest
-            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl), beta, free_nats)
-            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+    state_carry_eval = make_rf_chunked_eval(model, args, scalar_names=("beta", "free_nats"))
 
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(

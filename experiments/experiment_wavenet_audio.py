@@ -7,7 +7,7 @@ from blvm_tpu.models import WaveNet
 from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 
-from common import build_audio_pipeline, run_audio_training
+from common import build_audio_pipeline, make_rf_chunked_eval, run_audio_training
 
 
 def build_args():
@@ -63,24 +63,7 @@ def main():
 
     # chunked eval with receptive-field overlap (no state — overlap replaces it;
     # reference experiment_wavenet_audio.py split-eval via model.split_sequence)
-    import jax.numpy as jnp
-
-    @jax.jit
-    def eval_chunk_first(params, rng, x, x_sl):
-        _, mets, _ = model.apply({"params": params}, x, x_sl, pad_receptive_field=True, rngs={"sample": rng})
-        return mets
-
-    @jax.jit
-    def eval_chunk_rest(params, rng, x, x_sl):
-        _, mets, _ = model.apply({"params": params}, x, x_sl, pad_receptive_field=False, rngs={"sample": rng})
-        return mets
-
-    def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
-        chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
-        for i, (xs, sl) in enumerate(zip(chunks, lens)):
-            fn = eval_chunk_first if i == 0 else eval_chunk_rest
-            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl))
-            tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+    state_carry_eval = make_rf_chunked_eval(model, args)
 
     # ancestral sampling every N test epochs (reference --generate_every)
     import numpy as np
