@@ -127,6 +127,35 @@ class TestSplitSequence:
             np.testing.assert_allclose(s_chunks[i], c)
             np.testing.assert_array_equal(s_lens[i], l)
 
+    def test_extend_mode_new_frames_partition(self):
+        """Extend mode (overlap >= length): once each chunk's overlap-sized
+        context is subtracted (the pad_receptive_field=False convention), the
+        per-chunk NEW frames partition Σ x_sl exactly. Chunk 0 is data-only
+        (no context to subtract); later chunks are left-padded to uniform
+        length + overlap with the pad counted in their lengths."""
+        x = np.arange(2 * 40, dtype=np.float32).reshape(2, 40)
+        x_sl = np.array([40, 23])
+        length, overlap = 6, 14
+        chunks, lens = split_sequence(x, x_sl, length=length, overlap=overlap, mode="extend")
+        assert chunks[0].shape[1] == length
+        assert all(c.shape[1] == length + overlap for c in chunks[1:])
+        new_frames = np.sum(np.stack([np.maximum(l - (overlap if i else 0), 0) for i, l in enumerate(lens)]), axis=0)
+        np.testing.assert_array_equal(new_frames, x_sl)
+
+    def test_static_extend_uniform_contract(self):
+        """Static form: ALL chunks (incl. the first) are left-padded to the
+        uniform length + overlap and every chunk length includes its context,
+        so a scan body subtracting overlap scores each frame exactly once."""
+        x = np.arange(2 * 40, dtype=np.float32).reshape(2, 40)
+        x_sl = np.array([40, 23])
+        length, overlap = 6, 14
+        s_chunks, s_lens = split_sequence_static(
+            jnp.asarray(x), jnp.asarray(x_sl), length=length, overlap=overlap, mode="extend"
+        )
+        assert s_chunks.shape[2] == length + overlap
+        new_frames = np.sum(np.maximum(np.asarray(s_lens) - overlap, 0), axis=0)
+        np.testing.assert_array_equal(new_frames, x_sl)
+
 
 class TestWelford:
     def test_matches_numpy_var(self):
