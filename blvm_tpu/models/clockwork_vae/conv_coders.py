@@ -98,7 +98,9 @@ class TemporalResidual(nn.Module):
         if x_residual.shape[1] == x.shape[1]:
             return x_residual + x
         t_in, t_out = x.shape[1], x_residual.shape[1]
-        idx = jnp.floor(jnp.arange(t_out) * (t_in / t_out)).astype(jnp.int32)
+        # exact integer floor(i * t_in / t_out): float32 rounding of the
+        # precomputed ratio can land one index low for non-power-of-two ratios
+        idx = (jnp.arange(t_out) * t_in) // t_out
         return x_residual + jnp.take(x, idx, axis=1)
 
 

@@ -278,21 +278,32 @@ def run_audio_training(
                     x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
                     eval_key, sub = jax.random.split(eval_key)
                     if getattr(args, "split_eval", False) and state_carry_eval is not None:
-                        state_carry_eval(eval_step, state.params, sub, x, x_sl, scalars, tracker, source_name)
+                        # chunked split-eval; the callback may return the last
+                        # chunk's outputs so reconstruction logging still works
+                        # (the reference logs reconstructions after split-eval
+                        # too — experiment_srnn_audio.py:271-279)
+                        ret = state_carry_eval(eval_step, state.params, sub, x, x_sl, scalars, tracker, source_name)
+                        if ret is not None:
+                            outputs = ret
                     else:
                         batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
                         mets, outputs = eval_step(state.params, sub, batch, scalars)
                         tracker.update(build_metrics(jax.device_get(mets)))
-                        if eval_iw_samples > 0:
-                            eval_key, sub_iw = jax.random.split(eval_key)
-                            bound = jax.device_get(
-                                iw_step(state.params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
-                            )
-                            x_sl_h = np.asarray(x_sl)
-                            bound = np.where(x_sl_h > 0, bound, 0.0)  # mask padded zero-length rows
-                            tracker.update(
-                                [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)]
-                            )
+                    if eval_iw_samples > 0:
+                        # the IW bound runs on the unchunked sequence in both
+                        # eval modes: it is forward-only (no stored activations
+                        # for backward), so split-eval's memory motivation does
+                        # not apply and the bound keeps its exact semantics
+                        eval_key, sub_iw = jax.random.split(eval_key)
+                        bound = jax.device_get(
+                            iw_step(state.params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
+                        )
+                        x_sl_h = np.asarray(x_sl)
+                        bound = np.where(x_sl_h > 0, bound, 0.0)  # mask padded zero-length rows
+                        tracker.update(
+                            [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)],
+                            source=source_name,
+                        )
 
             # log audio reconstructions from the final eval batch
             if outputs is not None:
@@ -351,6 +362,47 @@ def _log_reconstructions(outputs, decode_transform, run_dir: Path, epoch: int, s
         for i in range(min(2, rec.shape[0])):
             save_wav(audio_dir / f"epoch{epoch:04d}_{tag}_{i}.wav", rec[i], sample_rate)
 
+def make_generation_hook(model, args, max_timesteps: int, method_kwargs=None):
+    """``post_eval_hook`` logging 2 generated audio clips per qualifying eval.
+
+    The reference logs generated audio at every eval in the VRNN/SRNN/CWVAE
+    drivers (``experiment_vrnn_audio.py:272-276``,
+    ``experiment_srnn_audio.py:281-286``, ``experiment_clockwork_audio.py:275``);
+    here the cadence is ``--generate_every`` epochs (generation is an
+    ancestral scan — worth rate-limiting on TPU). Works for any model whose
+    ``generate`` returns ``((x, x_sl), outputs)``.
+    """
+    import numpy as np
+
+    every = getattr(args, "generate_every", 1)
+    gen_jit = None
+
+    def hook(state, epoch, run_dir, pipeline):
+        nonlocal gen_jit
+        if every <= 0 or (epoch % every) != 0:
+            return
+        if gen_jit is None:
+            gen_jit = jax.jit(
+                lambda params, key: model.apply(
+                    {"params": params},
+                    n_samples=2,
+                    max_timesteps=max_timesteps,
+                    rngs={"sample": key},
+                    method=type(model).generate,
+                    **(method_kwargs or {}),
+                )
+            )
+        (x, _), _ = gen_jit(state.params, jax.random.PRNGKey(epoch))
+        x = np.asarray(jax.device_get(x), np.float32)
+        x = pipeline.decode_transform(x.reshape(x.shape[0], -1))
+        audio_dir = run_dir / "audio"
+        audio_dir.mkdir(exist_ok=True)
+        for i in range(x.shape[0]):
+            save_wav(audio_dir / f"epoch{epoch:04d}_generated_{i}.wav", x[i])
+
+    return hook
+
+
 def make_rf_chunked_eval(model, args, scalar_names=()):
     """Chunked eval for feedforward conv models (WaveNet/STCN pattern):
     receptive-field-overlap chunks, first chunk rf-padded, no carried state.
@@ -361,26 +413,28 @@ def make_rf_chunked_eval(model, args, scalar_names=()):
 
     @jax.jit
     def _chunk_first(params, rng, x, x_sl, scalar_values):
-        _, mets, _ = model.apply(
+        _, mets, out = model.apply(
             {"params": params}, x, x_sl, pad_receptive_field=True, rngs={"sample": rng},
             **dict(zip(scalar_names, scalar_values)),
         )
-        return mets
+        return mets, out
 
     @jax.jit
     def _chunk_rest(params, rng, x, x_sl, scalar_values):
-        _, mets, _ = model.apply(
+        _, mets, out = model.apply(
             {"params": params}, x, x_sl, pad_receptive_field=False, rngs={"sample": rng},
             **dict(zip(scalar_names, scalar_values)),
         )
-        return mets
+        return mets, out
 
     def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
         chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16000)
         values = tuple(scalars.get(name, 1.0 if name == "beta" else 0.0) for name in scalar_names)
+        out = None
         for i, (xs, sl) in enumerate(zip(chunks, lens)):
             fn = _chunk_first if i == 0 else _chunk_rest
-            mets = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl), values)
+            mets, out = fn(params, rng, jnp.asarray(xs), jnp.asarray(sl), values)
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+        return out  # last chunk's outputs → reconstruction logging under split-eval
 
     return state_carry_eval

@@ -41,6 +41,9 @@ def build_args():
     model_group.add_argument("--free_nats_steps", default=0, type=int)
     model_group.add_argument("--free_nats_start_value", default=2.0, type=float)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int)
+    model_group.add_argument("--generate_frames", default=128000, type=int,
+                             help="waveform frames per generated eval clip (reference max_timesteps semantics)")
     # --bf16 comes from the shared setup group (utils/argparsers.py): here it
     # selects bf16 conv coders (RSSM scans stay f32)
     return parser.parse_args()
@@ -112,18 +115,29 @@ def main():
             pad_same=is_last,
             rngs={"sample": rng},
         )
-        return mets, out.state_n
+        return mets, out
 
     def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
         chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 4 * model.overall_stride)
         state0 = None
+        out = None
         for i, (xs, sl) in enumerate(zip(chunks, lens)):
             is_last = i == len(chunks) - 1
-            mets, state0 = eval_chunk(
+            mets, out = eval_chunk(
                 params, rng, jnp.asarray(xs), jnp.asarray(sl), state0, is_last,
                 scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
             )
+            state0 = out.state_n
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source, check_unique=False)
+        return out
+
+    from common import make_generation_hook
+
+    # generated audio every --generate_every eval epochs (reference
+    # experiment_clockwork_audio.py:275 generates 128000 frames with mode obs)
+    post_eval_hook = make_generation_hook(
+        model, args, max_timesteps=args.generate_frames, method_kwargs=dict(use_mode_observations=True)
+    )
 
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
@@ -135,6 +149,7 @@ def main():
         best_metric_name="loss",
         script_name="clockwork_audio",
         state_carry_eval=state_carry_eval,
+        post_eval_hook=post_eval_hook,
         iw_kwargs=dict(pad_strideable=True),
     )
 

@@ -44,6 +44,9 @@ def build_args():
     model_group.add_argument("--free_nats_start_value", default=0.0625, type=float)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
     model_group.add_argument("--skip_nonfinite_updates", default=True, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int)
+    model_group.add_argument("--generate_frames", default=128000, type=int,
+                             help="waveform frames per generated eval clip (reference max_timesteps semantics)")
     return parser.parse_args()
 
 
@@ -92,24 +95,34 @@ def main():
         _, mets, out = model.apply(
             {"params": params}, x, x_sl, beta=beta, free_nats=free_nats, d_0=d0, z_0=z0, rngs={"sample": rng}
         )
-        return mets, (out.d_n, out.z_n)
+        return mets, out
 
     def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
         chunks, lens = model.split_sequence(x, x_sl, length=args.random_segment_size or 16 * args.stack_frames)
         B = x.shape[0]
         d0 = jnp.zeros((B, 2 * args.hidden_size))
         z0 = jnp.zeros((B, args.latent_size))
+        out = None
         for xs, sl in zip(chunks, lens):
-            mets, (d0, z0) = eval_chunk(
+            mets, out = eval_chunk(
                 params, rng, jnp.asarray(xs), jnp.asarray(sl), d0, z0,
                 scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
             )
+            d0, z0 = out.d_n, out.z_n
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+        return out
+
+    from common import make_generation_hook
+
+    # generated audio every --generate_every eval epochs (reference
+    # experiment_srnn_audio.py:281-286 generates 128000//stack_frames steps)
+    post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames // args.stack_frames)
 
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     add_statistics_normalization(args, pipeline)
     run_audio_training(
-        args, model, pipeline, loss_fn, annealers=annealers, script_name="srnn_audio", state_carry_eval=state_carry_eval
+        args, model, pipeline, loss_fn, annealers=annealers, script_name="srnn_audio",
+        state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
     )
 
 

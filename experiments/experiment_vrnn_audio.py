@@ -30,6 +30,7 @@ def build_args():
     model_group.add_argument("--stack_frames", default=200, type=int)
     model_group.add_argument("--hidden_size", default=512, type=int)
     model_group.add_argument("--latent_size", default=256, type=int)
+    model_group.add_argument("--r_dim", default=None, type=int, help="GRU state size (default 2*hidden_size)")
     model_group.add_argument("--residual_posterior", default=True, type=str2bool)
     model_group.add_argument("--condition_h_on_x", default=True, type=str2bool)
     model_group.add_argument("--condition_x_on_h", default=True, type=str2bool)
@@ -44,6 +45,9 @@ def build_args():
     model_group.add_argument("--free_nats_steps", default=0, type=int)
     model_group.add_argument("--free_nats_start_value", default=0.0625, type=float)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int)
+    model_group.add_argument("--generate_frames", default=128000, type=int,
+                             help="waveform frames per generated eval clip (reference max_timesteps semantics)")
     return parser.parse_args()
 
 
@@ -72,6 +76,7 @@ def main():
         input_size=args.stack_frames,
         hidden_size=args.hidden_size,
         latent_size=args.latent_size,
+        r_dim=args.r_dim,
         residual_posterior=args.residual_posterior,
         condition_h_on_x=args.condition_h_on_x,
         condition_x_on_h=args.condition_x_on_h,
@@ -110,23 +115,35 @@ def main():
         _, mets, out = model.apply(
             {"params": params}, x, x_sl, beta=beta, free_nats=free_nats, h0=h0, rngs={"sample": rng}
         )
-        return mets, out.h_n
+        return mets, out
 
     def state_carry_eval(eval_step, params, rng, x, x_sl, scalars, tracker, source):
         length = get_modulo_length(args.random_segment_size or 16 * args.stack_frames, args.stack_frames)
         chunks, lens = split_sequence(x, x_sl, length=length, overlap=0)
-        h0 = jnp.zeros((x.shape[0], 2 * args.hidden_size))
+        # carried-state width follows the model's rule (r_dim or 2*hidden_size,
+        # models/vrnn.py VRNN.setup) — a custom --r_dim checkpoint must not crash
+        h0 = jnp.zeros((x.shape[0], args.r_dim or 2 * args.hidden_size))
+        out = None
         for xs, sl in zip(chunks, lens):
-            mets, h0 = eval_chunk(
+            mets, out = eval_chunk(
                 params, rng, jnp.asarray(xs), jnp.asarray(sl), h0,
                 scalars.get("beta", 1.0), scalars.get("free_nats", 0.0),
             )
+            h0 = out.h_n
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
+        return out
+
+    from common import make_generation_hook
+
+    # generated audio every --generate_every eval epochs (reference
+    # experiment_vrnn_audio.py:272-276 generates 128000//stack_frames steps)
+    post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames // args.stack_frames)
 
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     add_statistics_normalization(args, pipeline)
     run_audio_training(
-        args, model, pipeline, loss_fn, annealers=annealers, script_name="vrnn_audio", state_carry_eval=state_carry_eval
+        args, model, pipeline, loss_fn, annealers=annealers, script_name="vrnn_audio",
+        state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
     )
 
 

