@@ -39,6 +39,7 @@ from blvm_tpu.modules.distributions import (
     DiscretizedLogisticMixtureDense,
 )
 from blvm_tpu.modules.rssm import RSSMCell
+from blvm_tpu.ops.likelihoods import at_least_f32
 from blvm_tpu.ops.padding import get_modulo_length, get_same_padding, pad_modulo
 from blvm_tpu.ops.sequence import sequence_mask, split_sequence
 from blvm_tpu.ops.variational import discount_free_nats, kl_divergence_gaussian
@@ -186,11 +187,15 @@ class CWVAE(nn.Module):
 
         encoder_right_pad = same_paddings if pad_same else [0] * self.num_levels
         encodings = self.encoder(x, pad_right=encoder_right_pad)  # list of (B, T_l, C)
-        # RSSM scans and the likelihood stay f32 regardless of coder dtype
-        encodings = [e.astype(jnp.float32) for e in encodings]
+        # RSSM scans and the likelihood stay at least f32 regardless of coder dtype
+        encodings = [at_least_f32(e) for e in encodings]
 
+        state_dtype = encodings[0].dtype
         states = (
-            [(jnp.zeros((B, self.z_size[l])), jnp.zeros((B, self.h_size[l]))) for l in range(self.num_levels)]
+            [
+                (jnp.zeros((B, self.z_size[l]), state_dtype), jnp.zeros((B, self.h_size[l]), state_dtype))
+                for l in range(self.num_levels)
+            ]
             if state0 is None
             else state0
         )
@@ -240,7 +245,7 @@ class CWVAE(nn.Module):
             # context for the level below: decoder-upsampled [z, h]
             context_cat = jnp.concatenate([z_seq, h_seq], axis=-1)
             _, context = self.decoder.forward_level(context_cat, level=l, pad_right=same_paddings[l])
-            context = context.astype(jnp.float32)
+            context = at_least_f32(context)
 
         dec = context[:, : y.shape[1]]
         parameters = self.likelihood(dec)

@@ -24,6 +24,7 @@ from blvm_tpu.models.base import BaseModel
 from blvm_tpu.modules.common import MLP
 from blvm_tpu.modules.distributions import DiscretizedLogisticMixtureDense
 from blvm_tpu.modules.recurrent import LSTM
+from blvm_tpu.ops.likelihoods import at_least_f32
 from blvm_tpu.ops.sequence import sequence_mask, stack_tensor
 
 
@@ -73,7 +74,7 @@ class LSTMAudio(BaseModel):
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout, h.shape)
             h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
 
-        h = h.astype(jnp.float32)  # likelihood surface stays f32
+        h = at_least_f32(h)  # likelihood surface stays at least f32
         o = self.decoder(h)  # (B, T'-1, 3*M*S)
         o = o.reshape(B, (T_stack - 1) * self.stack_size, 3 * self.num_mix)
 

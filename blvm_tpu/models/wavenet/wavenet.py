@@ -30,6 +30,7 @@ from blvm_tpu.evaluation.metrics import BitsPerDimMetric, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.models.wavenet.modules import CausalConv1d, PointwiseTransform, ResidualStack
 from blvm_tpu.modules.distributions import get_likelihood_head
+from blvm_tpu.ops.likelihoods import at_least_f32
 from blvm_tpu.ops.padding import get_modulo_length
 from blvm_tpu.ops.sequence import sequence_mask, split_sequence, stack_tensor, unstack_tensor
 
@@ -117,8 +118,8 @@ class WaveNet(BaseModel):
         """Causal conv → residual stack → scaled skip sum → pointwise head."""
         output = self.causal(x, pad_causal=pad_causal)
         skip_connections = self.res_stack(output, skip_size)
-        # skip sum and the output head in f32 (likelihood parity surface)
-        summed = sum(s.astype(jnp.float32) for s in skip_connections) * self.variance_scale
+        # skip sum and the output head at least f32 (likelihood parity surface)
+        summed = sum(at_least_f32(s) for s in skip_connections) * self.variance_scale
         logits = self.out_transform(summed)
         return logits, skip_connections
 

@@ -26,8 +26,19 @@ def reduce(x: jnp.ndarray, dim: int, operation=jnp.sum) -> jnp.ndarray:
     return operation(x, axis=dim)
 
 
+def at_least_f32(x):
+    """Promote to at least float32 (bf16 → f32; f32 → f32; f64 stays f64).
+
+    The likelihood surface must never run below f32 (bits/frame parity), but
+    pinning exactly f32 would silently truncate f64 runs (e.g. the x64
+    train-step parity suite) — promote, don't pin.
+    """
+    x = jnp.asarray(x)
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def _f32(*xs):
-    return tuple(jnp.asarray(x, jnp.float32) for x in xs)
+    return tuple(at_least_f32(x) for x in xs)
 
 
 def gaussian_ll(y, mu, sd, epsilon: float = 1e-6, reduce_dim: Optional[int] = -1):
@@ -69,7 +80,7 @@ def categorical_ll(y, logits, reduce_dim: Optional[int] = -1):
         y: integer targets of any shape ``(*,)``.
         logits: unnormalized log-probabilities ``(*, C)``.
     """
-    logits = jnp.asarray(logits, jnp.float32)
+    logits = at_least_f32(logits)
     logits = jax.nn.log_softmax(logits, axis=-1)
     y = jnp.asarray(y, jnp.int32)
     log_prob = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]

@@ -89,6 +89,18 @@ def cell_params(sd, prefix):
     }
 
 
+def transplant(sd, num_levels=2, num_blocks=2):
+    """torch CWVAEAudio state_dict -> flax params (reused by train-step parity)."""
+    return {
+        "cwvae": {
+            "encoder": coder_params(sd, "cwvae.encoder", num_levels, num_blocks),
+            "decoder": coder_params(sd, "cwvae.decoder", num_levels, num_blocks),
+            "likelihood": {"Dense_0": ref.linear_params(sd, "cwvae.likelihood.params")},
+            **{f"cell_{l}": cell_params(sd, f"cwvae.cells.{l}") for l in range(num_levels)},
+        }
+    }
+
+
 def build_pair(monkeypatch, **overrides):
     import torch
 
@@ -108,16 +120,7 @@ def build_pair(monkeypatch, **overrides):
     torch.manual_seed(0)
     ref_model = ref_cwvae_mod.CWVAEAudio(**kw).eval()
 
-    sd = ref_model.state_dict()
-    num_levels, num_blocks = len(kw["strides"]), kw["num_level_layers"]
-    params = {
-        "cwvae": {
-            "encoder": coder_params(sd, "cwvae.encoder", num_levels, num_blocks),
-            "decoder": coder_params(sd, "cwvae.decoder", num_levels, num_blocks),
-            "likelihood": {"Dense_0": ref.linear_params(sd, "cwvae.likelihood.params")},
-            **{f"cell_{l}": cell_params(sd, f"cwvae.cells.{l}") for l in range(num_levels)},
-        }
-    }
+    params = transplant(ref_model.state_dict(), num_levels=len(kw["strides"]), num_blocks=kw["num_level_layers"])
     model = CWVAEAudio(**{**kw, "strides": tuple(kw["strides"])})
     return ref_model, model, params
 

@@ -24,6 +24,16 @@ except ImportError:
 pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout unavailable")
 
 
+def transplant(sd, num_layers=2):
+    """torch LSTMAudio state_dict -> flax params (reused by train-step parity)."""
+    return {
+        "embedding": ref.mlp_params(sd, "embedding"),
+        "decoder": ref.mlp_params(sd, "decoder"),
+        "lstm": ref.lstm_params(sd, "lstm", num_layers=num_layers),
+        "likelihood": {"Dense_0": ref.linear_params(sd, "likelihood.params")},
+    }
+
+
 def build_pair(stack_size=8, hidden_size=16, num_layers=2, num_mix=3, num_bins=256):
     import torch
 
@@ -40,13 +50,7 @@ def build_pair(stack_size=8, hidden_size=16, num_layers=2, num_mix=3, num_bins=2
         num_bins=num_bins,
     ).eval()
 
-    sd = ref_model.state_dict()
-    params = {
-        "embedding": ref.mlp_params(sd, "embedding"),
-        "decoder": ref.mlp_params(sd, "decoder"),
-        "lstm": ref.lstm_params(sd, "lstm", num_layers=num_layers),
-        "likelihood": {"Dense_0": ref.linear_params(sd, "likelihood.params")},
-    }
+    params = transplant(ref_model.state_dict(), num_layers=num_layers)
     model = LSTMAudio(
         stack_size=stack_size,
         hidden_size=hidden_size,

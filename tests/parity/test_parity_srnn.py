@@ -26,30 +26,8 @@ pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout u
 INPUT_SIZE, HIDDEN, LATENT = 8, 16, 4
 
 
-def build_pair(monkeypatch, likelihood, smoothing):
-    import torch
-
-    import blvm.models.srnn as ref_srnn_mod
-
-    import blvm_tpu.models.srnn as my_srnn_mod
-    from blvm_tpu.models import SRNNAudio
-
-    def _mean_rsample_torch(mu: torch.Tensor, sd: torch.Tensor) -> torch.Tensor:
-        return mu
-
-    monkeypatch.setattr(ref_srnn_mod, "rsample_gaussian", _mean_rsample_torch)
-    monkeypatch.setattr(my_srnn_mod, "rsample_gaussian", lambda key, mu, sd: mu)
-
-    torch.manual_seed(0)
-    ref_model = ref_srnn_mod.SRNNAudio(
-        likelihood=likelihood,
-        input_size=INPUT_SIZE,
-        hidden_size=HIDDEN,
-        latent_size=LATENT,
-        smoothing=smoothing,
-    ).eval()
-
-    sd = ref_model.state_dict()
+def transplant(sd, smoothing=True):
+    """torch SRNNAudio state_dict -> flax params (reused by train-step parity)."""
     srnn = {
         "encoder": {"MLP_0": ref.mlp_params(sd, "srnn.encoder", (2, 4, 6))},
         "decoder": {"MLP_0": ref.mlp_params(sd, "srnn.decoder", (0, 2, 4))},
@@ -73,7 +51,33 @@ def build_pair(monkeypatch, likelihood, smoothing):
             "Dense_0": ref.linear_params(sd, "srnn.a_mlp.0"),
             "Dense_1": ref.linear_params(sd, "srnn.a_mlp.2"),
         }
-    params = {"srnn": srnn}
+    return {"srnn": srnn}
+
+
+def build_pair(monkeypatch, likelihood, smoothing):
+    import torch
+
+    import blvm.models.srnn as ref_srnn_mod
+
+    import blvm_tpu.models.srnn as my_srnn_mod
+    from blvm_tpu.models import SRNNAudio
+
+    def _mean_rsample_torch(mu: torch.Tensor, sd: torch.Tensor) -> torch.Tensor:
+        return mu
+
+    monkeypatch.setattr(ref_srnn_mod, "rsample_gaussian", _mean_rsample_torch)
+    monkeypatch.setattr(my_srnn_mod, "rsample_gaussian", lambda key, mu, sd: mu)
+
+    torch.manual_seed(0)
+    ref_model = ref_srnn_mod.SRNNAudio(
+        likelihood=likelihood,
+        input_size=INPUT_SIZE,
+        hidden_size=HIDDEN,
+        latent_size=LATENT,
+        smoothing=smoothing,
+    ).eval()
+
+    params = transplant(ref_model.state_dict(), smoothing)
     model = SRNNAudio(
         likelihood=likelihood,
         input_size=INPUT_SIZE,

@@ -33,6 +33,25 @@ def glu_stack_params(sd, prefix, n_blocks):
     return params
 
 
+def transplant(sd):
+    """torch STCN state_dict -> flax params (reused by train-step parity)."""
+    n_latents = len(LATENTS)
+    params = {
+        "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
+        "res_stack": glu_stack_params(sd, "res_stack", N_LAYERS * n_latents),
+        "out_transform": glu_stack_params(sd, "out_transform", N_LAYERS),
+        "out_upsample": {"Dense_0": ref.linear_params(sd, "out_upsample.0")},
+        "likelihood_module": {"Dense_0": ref.linear_params(sd, "likelihood_module.params")},
+    }
+    for l in range(n_latents):
+        for name in ("prior", "posterior"):
+            params[f"{name}_{l}"] = {
+                "MLP_0": ref.mlp_params(sd, f"{name}.{l}.transform_mu", (0, 2, 4)),
+                "MLP_1": ref.mlp_params(sd, f"{name}.{l}.transform_sd", (0, 2, 4)),
+            }
+    return params
+
+
 def build_pair(monkeypatch, likelihood, top_down):
     import torch
 
@@ -56,21 +75,7 @@ def build_pair(monkeypatch, likelihood, top_down):
         top_down=top_down,
     ).eval()
 
-    sd = ref_model.state_dict()
-    n_latents = len(LATENTS)
-    params = {
-        "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
-        "res_stack": glu_stack_params(sd, "res_stack", N_LAYERS * n_latents),
-        "out_transform": glu_stack_params(sd, "out_transform", N_LAYERS),
-        "out_upsample": {"Dense_0": ref.linear_params(sd, "out_upsample.0")},
-        "likelihood_module": {"Dense_0": ref.linear_params(sd, "likelihood_module.params")},
-    }
-    for l in range(n_latents):
-        for name in ("prior", "posterior"):
-            params[f"{name}_{l}"] = {
-                "MLP_0": ref.mlp_params(sd, f"{name}.{l}.transform_mu", (0, 2, 4)),
-                "MLP_1": ref.mlp_params(sd, f"{name}.{l}.transform_sd", (0, 2, 4)),
-            }
+    params = transplant(ref_model.state_dict())
     model = STCN(
         likelihood=likelihood,
         n_layers=N_LAYERS,

@@ -31,6 +31,26 @@ pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout u
 INPUT_SIZE, HIDDEN, LATENT = 8, 16, 4
 
 
+def transplant(sd):
+    """torch VRNNAudio state_dict -> flax params (reused by train-step parity)."""
+    cell = {
+        "prior_mlp": ref.mlp_params(sd, "vrnn.vrnn_cell.prior", (0, 2, 4)),
+        "prior_head": {"Dense_0": ref.linear_params(sd, "vrnn.vrnn_cell.prior.6.params")},
+        "posterior_mlp": ref.mlp_params(sd, "vrnn.vrnn_cell.posterior", (0, 2, 4)),
+        "posterior_head": {"Dense_0": ref.linear_params(sd, "vrnn.vrnn_cell.posterior.6.params")},
+        "phi_z_net": ref.mlp_params(sd, "vrnn.vrnn_cell.phi_z", (0, 2, 4, 6)),
+        "gru": ref.gru_cell_params(sd, "vrnn.vrnn_cell.gru_cell"),
+    }
+    return {
+        "vrnn": {
+            "cell": cell,
+            "encoder": {"MLP_0": ref.mlp_params(sd, "vrnn.encoder", (2, 4, 6))},
+            "decoder": {"MLP_0": ref.mlp_params(sd, "vrnn.decoder", (0, 2, 4))},
+            "likelihood": {"Dense_0": ref.linear_params(sd, "vrnn.likelihood.params")},
+        }
+    }
+
+
 def build_pair(monkeypatch, likelihood):
     import torch
 
@@ -50,23 +70,7 @@ def build_pair(monkeypatch, likelihood):
         likelihood=likelihood, input_size=INPUT_SIZE, hidden_size=HIDDEN, latent_size=LATENT
     ).eval()
 
-    sd = ref_model.state_dict()
-    cell = {
-        "prior_mlp": ref.mlp_params(sd, "vrnn.vrnn_cell.prior", (0, 2, 4)),
-        "prior_head": {"Dense_0": ref.linear_params(sd, "vrnn.vrnn_cell.prior.6.params")},
-        "posterior_mlp": ref.mlp_params(sd, "vrnn.vrnn_cell.posterior", (0, 2, 4)),
-        "posterior_head": {"Dense_0": ref.linear_params(sd, "vrnn.vrnn_cell.posterior.6.params")},
-        "phi_z_net": ref.mlp_params(sd, "vrnn.vrnn_cell.phi_z", (0, 2, 4, 6)),
-        "gru": ref.gru_cell_params(sd, "vrnn.vrnn_cell.gru_cell"),
-    }
-    params = {
-        "vrnn": {
-            "cell": cell,
-            "encoder": {"MLP_0": ref.mlp_params(sd, "vrnn.encoder", (2, 4, 6))},
-            "decoder": {"MLP_0": ref.mlp_params(sd, "vrnn.decoder", (0, 2, 4))},
-            "likelihood": {"Dense_0": ref.linear_params(sd, "vrnn.likelihood.params")},
-        }
-    }
+    params = transplant(ref_model.state_dict())
     model = VRNNAudio(likelihood=likelihood, input_size=INPUT_SIZE, hidden_size=HIDDEN, latent_size=LATENT)
     return ref_model, model, params
 

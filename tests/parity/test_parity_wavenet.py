@@ -25,6 +25,20 @@ pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout u
 N_LAYERS, N_STACKS, RES, NUM_MIX, NUM_BINS = 3, 2, 8, 3, 256
 
 
+def transplant(sd):
+    """torch WaveNet state_dict -> flax params (reused by train-step parity)."""
+    n_blocks = N_LAYERS * N_STACKS
+    res_stack = {"Conv1d_0": ref.conv1d_params(sd, "res_stack.in_transform")}
+    for i in range(n_blocks):
+        res_stack[f"Conv1dResidualGLU_{i}"] = ref.residual_glu_params(sd, f"res_stack.res_blocks.{i}")
+    return {
+        "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
+        "res_stack": res_stack,
+        "out_transform": {"Dense_0": ref.linear_params(sd, "out_transform.linear")},
+        "likelihood_head": {"Dense_0": ref.linear_params(sd, "likelihood.params")},
+    }
+
+
 def build_pair():
     import torch
 
@@ -39,17 +53,7 @@ def build_pair():
         likelihood=likelihood, n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_bins=NUM_BINS
     ).eval()
 
-    sd = ref_model.state_dict()
-    n_blocks = N_LAYERS * N_STACKS
-    res_stack = {"Conv1d_0": ref.conv1d_params(sd, "res_stack.in_transform")}
-    for i in range(n_blocks):
-        res_stack[f"Conv1dResidualGLU_{i}"] = ref.residual_glu_params(sd, f"res_stack.res_blocks.{i}")
-    params = {
-        "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
-        "res_stack": res_stack,
-        "out_transform": {"Dense_0": ref.linear_params(sd, "out_transform.linear")},
-        "likelihood_head": {"Dense_0": ref.linear_params(sd, "likelihood.params")},
-    }
+    params = transplant(ref_model.state_dict())
     model = WaveNet(
         n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_mix=NUM_MIX, num_bins=NUM_BINS
     )
