@@ -3,6 +3,7 @@ from blvm_tpu.parallel.mesh import (
     get_mesh,
     make_global_batch,
     make_mesh,
+    maybe_initialize_distributed,
     pad_batch_to_devices,
     replicated_sharding,
     shard_batch,

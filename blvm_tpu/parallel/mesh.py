@@ -12,6 +12,7 @@ the per-host file lists by ``jax.process_index()`` (see data pipeline) and
 relies on ``jax.distributed.initialize`` — no custom communication backend.
 """
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -19,9 +20,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _MESH: Optional[Mesh] = None
+_DISTRIBUTED_INITIALIZED = False
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def maybe_initialize_distributed(args=None) -> bool:
+    """Join a multi-process cluster when coordinator config is present.
+
+    Configuration sources (flags win over env vars):
+      * ``--dist_coordinator host:port --dist_num_processes N
+        --dist_process_id I`` on any experiment driver CLI, or
+      * ``BLVM_TPU_COORDINATOR`` / ``BLVM_TPU_NUM_PROCESSES`` /
+        ``BLVM_TPU_PROCESS_ID`` environment variables, or
+      * ``BLVM_TPU_DIST=auto`` — bare ``jax.distributed.initialize()`` for
+        TPU pods where JAX autodetects topology from cloud metadata.
+
+    No-op (returns False) when none are set, so single-process runs are
+    untouched. Idempotent; must run before the JAX backend initializes
+    (the drivers call it before their first ``jax.device_count()``).
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+
+    coordinator = getattr(args, "dist_coordinator", None) or os.environ.get("BLVM_TPU_COORDINATOR")
+    if coordinator is not None:
+        num_processes = getattr(args, "dist_num_processes", None) or int(os.environ["BLVM_TPU_NUM_PROCESSES"])
+        process_id = getattr(args, "dist_process_id", None)
+        if process_id is None:
+            process_id = int(os.environ["BLVM_TPU_PROCESS_ID"])
+        jax.distributed.initialize(
+            coordinator_address=coordinator, num_processes=int(num_processes), process_id=int(process_id)
+        )
+        _DISTRIBUTED_INITIALIZED = True
+        return True
+    if os.environ.get("BLVM_TPU_DIST") == "auto":
+        jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True
+        return True
+    return False
 
 
 def make_mesh(

@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="tensor-parallel mesh axis size (2-D (data, model) mesh; model-specific partition rules required)",
     )
+    mesh_group.add_argument(
+        "--dist_coordinator",
+        type=str,
+        default=None,
+        help="host:port of process 0 — joins a multi-host cluster via jax.distributed.initialize "
+        "(or set BLVM_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID, or BLVM_TPU_DIST=auto on TPU pods)",
+    )
+    mesh_group.add_argument("--dist_num_processes", type=int, default=None, help="total processes in the cluster")
+    mesh_group.add_argument("--dist_process_id", type=int, default=None, help="this process's id (0-based)")
 
     wandb_group = parser.add_argument_group("wandb")
     wandb_group.add_argument("--entity", type=str, default=None)
@@ -87,4 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
     wandb_group.add_argument("--job_type", type=str, default=None)
 
     parser.parse_args_by_group = partial(parse_args_by_group, parser)
+
+    # Multi-host must join the cluster BEFORE the first backend-initializing
+    # JAX call, and the drivers' very next line is typically
+    # ``jax.device_count()``. Hooking the join into parse_args puts it at the
+    # earliest point every driver shares; a no-op without the dist flags/env.
+    inner_parse = parser.parse_args
+
+    def parse_args_then_join_cluster(*a, **kw):
+        args = inner_parse(*a, **kw)
+        from blvm_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(args)
+        return args
+
+    parser.parse_args = parse_args_then_join_cluster
     return parser

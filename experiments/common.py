@@ -36,7 +36,15 @@ from blvm_tpu.data import (
 )
 from blvm_tpu.data.datasets import DATASETS
 from blvm_tpu.evaluation import Tracker
-from blvm_tpu.parallel import make_mesh, make_train_step, make_eval_step, shard_batch, shard_train_state
+from blvm_tpu.parallel import (
+    make_global_batch,
+    make_mesh,
+    make_train_step,
+    make_eval_step,
+    maybe_initialize_distributed,
+    shard_batch,
+    shard_train_state,
+)
 from blvm_tpu.parallel.mesh import DATA_AXIS
 from blvm_tpu.parallel.mesh import pad_batch_to_devices
 from blvm_tpu.settings import LOGGER, RUNS_DIRECTORY
@@ -69,7 +77,27 @@ def build_transforms(args):
 
 
 def build_audio_pipeline(args, n_devices: int):
-    """Datasets, samplers and loaders for the standard single-modality audio task."""
+    """Datasets, samplers and loaders for the standard single-modality audio task.
+
+    Multi-host: every process runs the SAME seeded samplers over the FULL
+    example list, so all hosts agree on the global batch plan (count, row
+    membership, padded shapes) — the lockstep requirement of SPMD. Each host
+    then materializes only its own row slice of every batch on device
+    (``make_global_batch`` in :func:`run_audio_training`). This deviates from
+    a per-host ``shard_examples_by_process`` split of the example list on
+    purpose: independent per-host length-packing would produce differing
+    batch counts (deadlock at the first collective) and a global batch
+    composition that differs from the single-process run, breaking exact
+    loss parity. Host-side decode IO is duplicated ``process_count``-fold;
+    acceptable because audio decode is ~100x faster than a train step and
+    overlapped by the loader threads.
+    """
+    maybe_initialize_distributed(args)
+    if jax.process_count() > 1 and args.num_workers != 0:
+        # RandomSegment draws from one sequential RNG; thread interleaving
+        # would desync the hosts' crop positions (and thus padded shapes)
+        LOGGER.warning("multi-host: forcing --num_workers 0 for deterministic lockstep batch shapes")
+        args.num_workers = 0
     dataset = DATASETS[args.dataset]
     encode_train, encode_eval, decode = build_transforms(args)
 
@@ -121,7 +149,10 @@ def make_scalar_schedules(annealers: Dict[str, object]):
     """Step all annealers once and return the traced-scalar dict for the jit step."""
 
     def step_schedules():
-        return {name: jnp.asarray(a.step(), jnp.float32) for name, a in annealers.items()}
+        # np (not jnp) scalars: uncommitted host values the jitted step places
+        # per its replicated in_sharding — on multi-host meshes an eagerly
+        # device-committed scalar would conflict with the global device set
+        return {name: np.float32(a.step()) for name, a in annealers.items()}
 
     return step_schedules
 
@@ -156,6 +187,15 @@ def run_audio_training(
             importance-weighted bound (e.g. CWVAE needs
             ``pad_strideable=True``).
     """
+    # multi-host: join the cluster BEFORE touching devices; afterwards
+    # jax.devices() spans all hosts and the mesh below is global. Every host
+    # runs this same driver (SPMD single-program); host-side effects (JSONL,
+    # wandb, wav logging, checkpoints) happen on process 0 only.
+    maybe_initialize_distributed(args)
+    process_count = jax.process_count()
+    process_index = jax.process_index()
+    is_main = process_index == 0
+
     run_dir = default_run_dir(args, script_name)
     root_key = set_seed(args.seed)
 
@@ -166,6 +206,46 @@ def run_audio_training(
     # batches shard over the data axis only; pad the batch to its size
     n_devices = mesh.shape[DATA_AXIS]
     LOGGER.info(f"mesh: {dict(mesh.shape)}; run dir: {run_dir}")
+
+    if process_count > 1:
+        if n_devices % process_count != 0:
+            raise ValueError(f"data axis ({n_devices}) must be divisible by process count ({process_count})")
+        if getattr(args, "split_eval", False) and state_carry_eval is not None:
+            # the chunked-eval callbacks jit locally against global params —
+            # unsupported combination; whole-sequence eval is always correct
+            LOGGER.warning("multi-host: --split_eval unsupported, falling back to whole-sequence eval")
+            state_carry_eval = None
+
+    def fetch_mets(mets):
+        """Host copies of step metrics. Single-process: plain device_get.
+        Multi-host: per-example leaves (log_prob, x_sl, per-layer KLs) are
+        batch-sharded global arrays spanning other hosts' devices —
+        all-gather them (a tiny collective all hosts reach in lockstep, B
+        floats per step) so the exact weighted-mean metric semantics are
+        preserved; replicated leaves (loss) read from the local replica."""
+        if process_count == 1:
+            return jax.device_get(mets)
+        from jax.experimental import multihost_utils
+
+        def fetch(a):
+            if not isinstance(a, jax.Array) or a.is_fully_addressable:
+                return jax.device_get(a)
+            if a.sharding.is_fully_replicated:
+                return np.asarray(a.addressable_shards[0].data)
+            return multihost_utils.process_allgather(a, tiled=True)
+
+        return jax.tree_util.tree_map(fetch, mets)
+
+    def make_device_batch(x, x_sl):
+        """Pad to the global mesh, then device-put: single-process via
+        shard_batch; multi-host each process contributes its contiguous row
+        block of the (identical, deterministically planned) global batch."""
+        x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
+        if process_count == 1:
+            return shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        rows = x.shape[0] // process_count
+        block = slice(process_index * rows, (process_index + 1) * rows)
+        return make_global_batch({"x": x[block], "x_sl": x_sl[block]}, mesh)
 
     annealers = annealers or {}
     schedules = make_scalar_schedules(annealers)
@@ -236,9 +316,17 @@ def run_audio_training(
         def iw_step(params, key, x, x_sl, num_samples):
             return model_iw_bound(model, params, x, x_sl, key, num_samples, **(iw_kwargs or {}))
 
+    if process_count > 1:
+        LOGGER.warning(
+            "multi-host: IW bound, reconstruction logging and checkpoint/JSONL writes run on process 0 "
+            "only; the IW bound and reconstruction logging are disabled (they pull sharded eval outputs "
+            "to one host — unsupported)"
+        )
     tracker = Tracker(
-        jsonl_path=str(run_dir / "metrics.jsonl"),
-        use_wandb=getattr(args, "mode", None) not in (None, "disabled"),
+        # process 0 is the system of record; other hosts keep metrics in
+        # memory (identical values — they are psum'd globals) but write nothing
+        jsonl_path=str(run_dir / "metrics.jsonl") if is_main else None,
+        use_wandb=is_main and getattr(args, "mode", None) not in (None, "disabled"),
         debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
     )
     tracker.epoch = start_epoch  # epochs() resumes from epoch+1
@@ -257,13 +345,12 @@ def run_audio_training(
         # ------------------------------------------------------------- training
         last_norms = {}
         for (x, x_sl), metadata in tracker.steps(pipeline.train_loader, source=dataset.train):
-            x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
-            batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+            batch = make_device_batch(x, x_sl)
             scalars = schedules()
             state, mets = train_step(state, batch, scalars)
             # the fetch below syncs on this step's result; the loader threads
             # keep the next batch ready so the device restarts immediately
-            mets = jax.device_get(mets)
+            mets = fetch_mets(mets)
             if log_norms:
                 last_norms = {k: float(mets.pop(k)) for k in ("grad_norm", "param_norm")}
             tracker.update(build_metrics(mets))
@@ -272,24 +359,24 @@ def run_audio_training(
         extra = dict()
         if (epoch % args.test_every) == 0:
             outputs = None
-            scalars = {name: jnp.asarray(a.value if a.value is not None else a.step(), jnp.float32) for name, a in annealers.items()}
+            scalars = {name: np.float32(a.value if a.value is not None else a.step()) for name, a in annealers.items()}
             for source_name, loader in pipeline.valid_test_loaders.items():
                 for (x, x_sl), metadata in tracker.steps(loader, source=source_name):
-                    x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
                     eval_key, sub = jax.random.split(eval_key)
                     if getattr(args, "split_eval", False) and state_carry_eval is not None:
                         # chunked split-eval; the callback may return the last
                         # chunk's outputs so reconstruction logging still works
                         # (the reference logs reconstructions after split-eval
                         # too — experiment_srnn_audio.py:271-279)
+                        x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
                         ret = state_carry_eval(eval_step, state.params, sub, x, x_sl, scalars, tracker, source_name)
                         if ret is not None:
                             outputs = ret
                     else:
-                        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+                        batch = make_device_batch(x, x_sl)
                         mets, outputs = eval_step(state.params, sub, batch, scalars)
-                        tracker.update(build_metrics(jax.device_get(mets)))
-                    if eval_iw_samples > 0:
+                        tracker.update(build_metrics(fetch_mets(mets)))
+                    if eval_iw_samples > 0 and process_count == 1:
                         # the IW bound runs on the unchunked sequence in both
                         # eval modes: it is forward-only (no stored activations
                         # for backward), so split-eval's memory motivation does
@@ -306,15 +393,16 @@ def run_audio_training(
                         )
 
             # log audio reconstructions from the final eval batch
-            if outputs is not None:
+            if outputs is not None and process_count == 1:
                 _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
 
-            if post_eval_hook is not None:
+            if post_eval_hook is not None and is_main:
                 post_eval_hook(state, epoch, run_dir, pipeline)
 
             # conditional best-checkpoint save (reference gating semantics)
             if (
-                args.save_checkpoints
+                is_main
+                and args.save_checkpoints
                 and epoch > args.test_every
                 and dataset.test in tracker.accumulated_values
                 and best_metric_name in tracker.accumulated_values[dataset.test]
@@ -392,7 +480,13 @@ def make_generation_hook(model, args, max_timesteps: int, method_kwargs=None):
                     **(method_kwargs or {}),
                 )
             )
-        (x, _), _ = gen_jit(state.params, jax.random.PRNGKey(epoch))
+        params = state.params
+        if jax.process_count() > 1:
+            # params are replicated → every shard is addressable locally;
+            # fetch to host so the local generation jit doesn't mix local
+            # inputs with globally-committed arrays
+            params = jax.device_get(params)
+        (x, _), _ = gen_jit(params, jax.random.PRNGKey(epoch))
         x = np.asarray(jax.device_get(x), np.float32)
         x = pipeline.decode_transform(x.reshape(x.shape[0], -1))
         audio_dir = run_dir / "audio"
