@@ -1,32 +1,43 @@
-"""Benchmark: training throughput of the flagship WaveNet on one chip.
+"""Benchmark: training throughput of the blvm_tpu model families on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Default (the driver contract): ONE JSON line for the flagship WaveNet train
+step — {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+``--all`` (or ``--families a,b,c``): one JSON line per family, same
+measurement discipline, replacing the hand-run NOTES.md throughput table with
+a reproducible script (so regressions in the non-flagship families are
+detectable round over round).
+
+``--f32`` forces float32 everywhere; the default dtype per family is the
+shipped production choice — bf16 residual/conv stacks for WaveNet/STCN/CWVAE
+(measured 1.95×/1.68×/1.63× at equal loss, NOTES.md), f32 for the recurrent
+scan cores (bf16 scans measured 10× slower on this backend).
 
 Metric: waveform samples consumed per second by full training steps (forward +
-backward + Adam update) of the benchmarks.txt canonical TIMIT WaveNet config
-(n_stacks 5, n_layers 10, res_channels 96, DMoL 2^16 bins, 16000-sample
-segments). Baseline for vs_baseline: the BASELINE.json north star of 5x a
-reference single-GPU throughput; the reference repo records no absolute
-numbers (BASELINE.md), so vs_baseline reports value / 500_000 (500k samples/s
-~= 5 x a ~100k samples/s single-GPU PyTorch estimate).
+backward + Adam update). Flagship config = the benchmarks.txt canonical TIMIT
+WaveNet (n_stacks 5, n_layers 10, res_channels 96, DMoL 2^16 bins,
+16000-sample segments). Baseline for vs_baseline: the BASELINE.json north star
+of 5x a reference single-GPU throughput; the reference repo records no
+absolute numbers (BASELINE.md), so vs_baseline reports value / 500_000.
 
-Measurement integrity (round-2 rework -- the round-1 number implied >4x chip
+Measurement integrity (round-2 rework — the round-1 number implied >4x chip
 peak and was an async-dispatch artifact of the experimental TPU relay):
   * every timed step consumes a DIFFERENT batch (no constant-folding headroom),
-  * timing is closed by ``jax.device_get`` of the final loss scalar -- the
+  * timing is closed by ``jax.device_get`` of the final loss scalar — the
     float must physically arrive on the host, which transitively forces every
     step (params chain step-to-step), unlike ``block_until_ready`` which the
     relay can acknowledge early,
   * two step counts are timed and per-step times must agree (linearity); if
-    they disagree or the implied FLOP/s exceeds the chip's bf16 peak, the
-    script falls back to per-step-synced timing (a strict lower bound) and
-    reports that instead,
-  * the implied FLOP/s is checked against hardware peak with an analytic
-    *forward-only lower bound* on FLOPs -- if even that exceeds peak, the
-    measurement is impossible and the script fails loudly,
+    they disagree (or, for WaveNet, the implied FLOP/s exceeds the chip's bf16
+    peak) the script falls back to per-step-synced timing (a strict lower
+    bound) and reports that instead,
+  * for WaveNet the implied FLOP/s is checked against hardware peak with an
+    analytic *forward-only lower bound* on FLOPs — if even that exceeds peak,
+    the measurement is impossible and the script fails loudly,
   * first/last timed losses are reported so training progress is visible.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -35,13 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# -- workload config (benchmarks.txt canonical TIMIT WaveNet) -----------------
-N_LAYERS, N_STACKS, RES, NUM_MIX, NUM_BINS = 10, 5, 96, 10, 2**16
-B, T = 8, 16000
-# bf16 residual stack (likelihood/skip-sum stay f32) — measured 1.95x faster
-# than f32 at equal loss (NOTES.md round-2 table); the reference's AMP
-# equivalent. Set BF16=False to time the pure-f32 path.
-BF16 = True
+BASELINE = 500_000.0  # 5x reference single-GPU target (BASELINE.json)
 
 # Known chip peaks (dense matmul FLOP/s). bf16 peak is used as the generous
 # upper bound for the plausibility assert even for f32 runs.
@@ -57,8 +62,13 @@ PEAKS_BF16 = {
 DEFAULT_PEAK = 197e12  # assume v5e-class if unrecognized
 
 
-def analytic_flops_per_step() -> tuple[float, float]:
-    """(forward_lower_bound, train_estimate) FLOPs per train step.
+# -- flagship WaveNet config (benchmarks.txt canonical TIMIT WaveNet) ---------
+WN_LAYERS, WN_STACKS, WN_RES, WN_MIX, WN_BINS = 10, 5, 96, 10, 2**16
+WN_B, WN_T = 8, 16000
+
+
+def wavenet_analytic_flops() -> tuple[float, float]:
+    """(forward_lower_bound, train_estimate) FLOPs per flagship train step.
 
     Counts only the MXU work (convs/denses; 2 FLOPs per MAC). The dilated
     convs run over the receptive-field-padded sequence, each block's output
@@ -66,137 +76,264 @@ def analytic_flops_per_step() -> tuple[float, float]:
     strict LOWER bound on the forward cost. Train estimate = 3x forward
     (standard fwd:bwd = 1:2 for conv/matmul nets).
     """
-    out_t = B * T  # output frames per step (skip_size == T)
-    gate = 2 * 2 * RES * (2 * RES)  # k=2 conv RES -> 2*RES
-    rs = 2 * RES * (2 * RES)  # 1x1 conv RES -> RES+RES
+    out_t = WN_B * WN_T  # output frames per step (skip_size == T)
+    gate = 2 * 2 * WN_RES * (2 * WN_RES)  # k=2 conv RES -> 2*RES
+    rs = 2 * WN_RES * (2 * WN_RES)  # 1x1 conv RES -> RES+RES
     per_block = gate + rs
-    blocks = N_LAYERS * N_STACKS * per_block
-    causal = 2 * 2 * 1 * RES
-    head = 2 * RES * RES  # PointwiseTransform dense
-    lik = 2 * RES * (3 * NUM_MIX)  # DMoL parameter dense
+    blocks = WN_LAYERS * WN_STACKS * per_block
+    causal = 2 * 2 * 1 * WN_RES
+    head = 2 * WN_RES * WN_RES  # PointwiseTransform dense
+    lik = 2 * WN_RES * (3 * WN_MIX)  # DMoL parameter dense
     fwd = out_t * (blocks + causal + head + lik)
     return float(fwd), float(3 * fwd)
 
 
+# ---------------------------------------------------------------------------
+# family workload builders — each returns
+#   (model, loss_fn, batches, samples_per_step, dtype_str)
+# with shapes matching the NOTES.md round-2 measurement table
+# ---------------------------------------------------------------------------
+
+
+def _audio_batches(B, T, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {"x": jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32), "x_sl": jnp.full((B,), T, jnp.int32)}
+        for _ in range(n)
+    ]
+
+
+def _simple_loss(model, **kw):
+    def loss_fn(params, rng_key, batch, scalars):
+        loss, mets, _ = model.apply({"params": params}, batch["x"], batch["x_sl"], **kw, rngs={"sample": rng_key})
+        return loss, (mets, None)
+
+    return loss_fn
+
+
+def build_wavenet(bf16):
+    from blvm_tpu.models import WaveNet
+
+    model = WaveNet(
+        n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS, bf16=bf16
+    )
+    return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, "bf16" if bf16 else "f32"
+
+
+def build_lstm(bf16):
+    from blvm_tpu.models import LSTMAudio
+
+    B, T = 32, 16384
+    model = LSTMAudio(stack_size=64, hidden_size=256, num_mix=10, num_bins=WN_BINS)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32"  # scan cores stay f32
+
+
+def build_vrnn(bf16):
+    from blvm_tpu.models import VRNNAudio
+
+    B, T = 8, 16000
+    model = VRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32"
+
+
+def build_srnn(bf16):
+    from blvm_tpu.models import SRNNAudio
+
+    B, T = 8, 16000
+    model = SRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32"
+
+
+def build_cwvae(bf16):
+    from blvm_tpu.models import CWVAEAudio
+
+    B, T = 8, 16384
+    model = CWVAEAudio(z_size=64, h_size=128, strides=(64, 16, 16), likelihood="DMoL", num_bins=WN_BINS, bf16=bf16)
+    return model, _simple_loss(model, pad_strideable=True), _audio_batches(B, T), B * T, (
+        "bf16" if bf16 else "f32"
+    )
+
+
+def build_stcn(bf16):
+    from blvm_tpu.models import STCN
+
+    B, T = 8, 16000
+    model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "bf16" if bf16 else "f32"
+
+
+def build_ctc(bf16):
+    from blvm_tpu.models import SimpleLSTMASR
+
+    B, T, D, N, V = 16, 500, 80, 50, 30
+    vocab = tuple("%abcdefghijklmnopqrstuvwxyz '-_"[:V])
+    model = SimpleLSTMASR(vocab=vocab, input_size=D, hidden_size=256, num_layers=2, bidirectional=True)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "x": jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32),
+            "x_sl": jnp.full((B,), T, jnp.int32),
+            "y": jnp.asarray(rng.integers(1, V, (B, N)), jnp.int32),
+            "y_sl": jnp.full((B,), N, jnp.int32),
+        }
+        for _ in range(4)
+    ]
+
+    def loss_fn(params, rng_key, batch, scalars):
+        loss, mets, _ = model.apply({"params": params}, batch["x"], batch["x_sl"], batch["y"], batch["y_sl"])
+        # only the scalar loss is timed (decode/WER are host-side by design)
+        return loss, ({"loss": loss}, None)
+
+    return model, loss_fn, batches, B * T, "f32"
+
+
+FAMILIES = {
+    "wavenet": build_wavenet,
+    "lstm": build_lstm,
+    "vrnn": build_vrnn,
+    "srnn": build_srnn,
+    "cwvae": build_cwvae,
+    "stcn": build_stcn,
+    "ctc": build_ctc,
+}
+
+
+# ---------------------------------------------------------------------------
+# measurement harness
+# ---------------------------------------------------------------------------
+
+
+def time_steps(step, state, batches, schedules, n_steps, sync_every_step):
+    """Run n_steps and return (state, dt, loss_first, loss_last)."""
+    n_distinct = len(batches)
+    first_loss = None
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, mets = step(state, batches[i % n_distinct], schedules)
+        if first_loss is None:
+            first_loss = mets["loss"]
+        if sync_every_step:
+            float(jax.device_get(mets["loss"]))
+    last = float(jax.device_get(mets["loss"]))  # forces the whole chain
+    dt = time.perf_counter() - t0
+    return state, dt, float(jax.device_get(first_loss)), last
+
+
+def bench_family(name, builder, bf16, steps_a, steps_b, headline):
+    from blvm_tpu.parallel import make_train_step
+    from blvm_tpu.training import TrainState, get_optimizer
+
+    model, loss_fn, batches, samples_per_step, dtype = builder(bf16)
+
+    first = batches[0]
+    # init inside jit: eager op-by-op init would trigger per-op compilation
+    init_args = tuple(first[k] for k in ("x", "x_sl", "y", "y_sl") if k in first)
+    variables = jax.jit(lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, *init_args))(
+        jax.random.PRNGKey(0)
+    )
+    tx = get_optimizer("Adam", 3e-4)
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2))
+    step = make_train_step(loss_fn)
+
+    # warmup / compile — two steps: the first call's output state carries mesh
+    # shardings, so the second call compiles the steady-state executable
+    for i in range(2):
+        state, mets = step(state, batches[i % len(batches)], {})
+        float(jax.device_get(mets["loss"]))
+
+    # async timing at two step counts — per-step times must agree (linearity)
+    state, dt_a, loss_first, _ = time_steps(step, state, batches, {}, steps_a, sync_every_step=False)
+    state, dt_b, _, loss_last = time_steps(step, state, batches, {}, steps_b, sync_every_step=False)
+    per_step_a, per_step_b = dt_a / steps_a, dt_b / steps_b
+    linear = abs(per_step_a - per_step_b) <= 0.25 * max(per_step_a, per_step_b)
+
+    device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "unknown")
+    peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
+
+    fwd_flops = train_flops = None
+    if name == "wavenet":
+        fwd_flops, train_flops = wavenet_analytic_flops()
+
+    timing_mode = "async_chain"
+    per_step = per_step_b
+    implausible = fwd_flops is not None and fwd_flops / per_step > peak
+    if not linear or implausible:
+        # async dispatch on the relay is not trustworthy — fall back to
+        # per-step host sync (strict lower bound on true throughput)
+        timing_mode = "per_step_sync"
+        n_sync = max(10, steps_b // 2)
+        state, dt_s, loss_first, loss_last = time_steps(step, state, batches, {}, n_sync, sync_every_step=True)
+        per_step = dt_s / n_sync
+
+    if fwd_flops is not None and fwd_flops / per_step > peak:
+        print(
+            f"IMPLAUSIBLE MEASUREMENT ({name}): forward-only lower bound {fwd_flops / per_step:.3e} "
+            f"FLOP/s exceeds {kind} peak {peak:.3e} even with per-step sync — refusing to report",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    samples_per_sec = samples_per_step / per_step
+    result = {
+        "metric": f"{name}_train_throughput_waveform_samples_per_sec"
+        if name != "ctc"
+        else "ctc_train_throughput_frames_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s" if name != "ctc" else "frames/s",
+        "vs_baseline": round(samples_per_sec / BASELINE, 3),
+        "ms_per_step": round(per_step * 1e3, 3),
+        "device_kind": kind,
+        "dtype": dtype,
+        "timing_mode": timing_mode,
+        "timing_linear": linear,
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
+    }
+    if train_flops is not None:
+        result["flops_per_sec"] = round(train_flops / per_step, 1)
+        result["mfu_pct"] = round(100.0 * train_flops / per_step / peak, 2)
+        result["hw_peak_assumed"] = peak
+    if headline:
+        result["metric"] = "wavenet_train_throughput_waveform_samples_per_sec"
+    return result
+
+
 def main():
+    parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--all", action="store_true", help="benchmark every family (one JSON line each)")
+    parser.add_argument("--families", type=str, default=None, help="comma-separated subset of " + ",".join(FAMILIES))
+    parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
+    parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
+    args = parser.parse_args()
+
     try:  # persistent compile cache if the backend supports it (harmless if not)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
 
-    from blvm_tpu.models import WaveNet
-    from blvm_tpu.parallel import make_mesh, make_train_step
-    from blvm_tpu.training import TrainState, get_optimizer
+    from blvm_tpu.parallel import make_mesh
 
     make_mesh(1)
+    bf16 = not args.f32
 
-    model = WaveNet(
-        n_layers=N_LAYERS, n_stacks=N_STACKS, res_channels=RES, num_mix=NUM_MIX, num_bins=NUM_BINS, bf16=BF16
-    )
+    if args.families:
+        names = [n.strip() for n in args.families.split(",") if n.strip()]
+    elif args.all:
+        names = list(FAMILIES)
+    else:
+        names = ["wavenet"]
+    unknown = [n for n in names if n not in FAMILIES]
+    if unknown:
+        parser.error(f"unknown families: {unknown}")
 
-    rng = np.random.default_rng(0)
-    n_distinct = 4  # cycled so successive steps never see the same data
-    batches = [
-        {
-            "x": jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
-            "x_sl": jnp.full((B,), T, jnp.int32),
-        }
-        for _ in range(n_distinct)
-    ]
-
-    # init inside jit: eager op-by-op init would trigger per-op compilation
-    variables = jax.jit(
-        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, batches[0]["x"], batches[0]["x_sl"])
-    )(jax.random.PRNGKey(0))
-
-    tx = get_optimizer("Adam", 3e-4)
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2)
-    )
-
-    def loss_fn(params, rng_key, batch, scalars):
-        loss, mets, _ = model.apply(
-            {"params": params}, batch["x"], batch["x_sl"], rngs={"sample": rng_key}
-        )
-        return loss, (mets, None)
-
-    step = make_train_step(loss_fn)
-
-    # warmup / compile -- two steps: the first call's output state carries mesh
-    # shardings, so the second call compiles the steady-state executable
-    for i in range(2):
-        state, mets = step(state, batches[i % n_distinct], {})
-        float(jax.device_get(mets["loss"]))
-
-    def timed_run(state, n_steps: int, sync_every_step: bool):
-        """Run n_steps and return (state, dt, loss_first, loss_last)."""
-        first_loss = None
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, mets = step(state, batches[i % n_distinct], {})
-            if first_loss is None:
-                first_loss = mets["loss"]
-            if sync_every_step:
-                float(jax.device_get(mets["loss"]))
-        last = float(jax.device_get(mets["loss"]))  # forces the whole chain
-        dt = time.perf_counter() - t0
-        return state, dt, float(jax.device_get(first_loss)), last
-
-    # async timing at two step counts -- per-step times must agree (linearity)
-    state, dt_a, loss_first, _ = timed_run(state, 20, sync_every_step=False)
-    state, dt_b, _, loss_last = timed_run(state, 100, sync_every_step=False)
-    per_step_a, per_step_b = dt_a / 20, dt_b / 100
-    linear = abs(per_step_a - per_step_b) <= 0.25 * max(per_step_a, per_step_b)
-
-    device = jax.devices()[0]
-    kind = getattr(device, "device_kind", "unknown")
-    peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
-    fwd_flops, train_flops = analytic_flops_per_step()
-
-    timing_mode = "async_chain"
-    per_step = per_step_b
-    # plausibility: even the forward-only lower bound must fit under peak
-    if not linear or fwd_flops / per_step > peak:
-        # async dispatch on the relay is not trustworthy -- fall back to
-        # per-step host sync (strict lower bound on true throughput)
-        timing_mode = "per_step_sync"
-        state, dt_s, loss_first, loss_last = timed_run(state, 50, sync_every_step=True)
-        per_step = dt_s / 50
-
-    flops_per_sec = train_flops / per_step
-    mfu_pct = 100.0 * flops_per_sec / peak
-    samples_per_sec = B * T / per_step
-
-    if fwd_flops / per_step > peak:
-        print(
-            f"IMPLAUSIBLE MEASUREMENT: forward-only lower bound {fwd_flops / per_step:.3e} "
-            f"FLOP/s exceeds {kind} peak {peak:.3e} even with per-step sync -- refusing to report",
-            file=sys.stderr,
-        )
-        sys.exit(1)
-
-    baseline = 500_000.0  # 5x reference single-GPU target (BASELINE.json)
-    print(
-        json.dumps(
-            {
-                "metric": "wavenet_train_throughput_waveform_samples_per_sec",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / baseline, 3),
-                "ms_per_step": round(per_step * 1e3, 3),
-                "flops_per_sec": round(flops_per_sec, 1),
-                "mfu_pct": round(mfu_pct, 2),
-                "hw_peak_assumed": peak,
-                "device_kind": kind,
-                "dtype": "bf16" if BF16 else "f32",
-                "timing_mode": timing_mode,
-                "timing_linear": linear,
-                "loss_first": round(loss_first, 4),
-                "loss_last": round(loss_last, 4),
-            }
-        )
-    )
+    headline_only = names == ["wavenet"]
+    for name in names:
+        steps_b = args.steps or (100 if name == "wavenet" else 50)
+        steps_a = max(5, steps_b // 5)
+        result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
