@@ -96,6 +96,7 @@ class Conv1dResidualGLU(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    fuse_gate_dots: bool = False
 
     @nn.compact
     def __call__(self, x, skip_size: int):
@@ -156,9 +157,31 @@ class Conv1dResidualGLU(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
             ) + bias.astype(x.dtype)
 
-        act = jnp.tanh(branch_conv(gate_kernel_t, gate_bias_t)) * jax.nn.sigmoid(
-            branch_conv(gate_kernel_s, gate_bias_s)
-        )
+        if self.kernel_size == 2 and self.fuse_gate_dots:
+            # ABLATION (default off — measured SLOWER): all four k=2
+            # tap/branch contractions as ONE dot so x is read once and XLA
+            # sees a single wide (C_in, 4*half) matmul. Column-concatenating
+            # the kernels is bitwise-identical to the separate dots (a dot's
+            # output column depends only on its own kernel column), but on a
+            # v5e the flagship step REGRESSES 54.5 → 72.2 ms/step: XLA already
+            # fuses the four small dots' HBM reads, and the fused form blocks
+            # its (t, t+d) output-slice overlap trick. Kept as a measured
+            # negative result. Also incompatible with tensor parallelism (the
+            # concat interleaves differently-sharded pieces — GSPMD inserts
+            # realignment collectives).
+            d = self.dilation
+            L = x.shape[1] - d
+            fused = jnp.concatenate(
+                [gate_kernel_t[0], gate_kernel_t[1], gate_kernel_s[0], gate_kernel_s[1]], axis=-1
+            )
+            y = x @ fused  # (B, T_in, 4*half)
+            t_pre = y[:, :L, :half] + y[:, d:, half : 2 * half] + gate_bias_t.astype(x.dtype)
+            s_pre = y[:, :L, 2 * half : 3 * half] + y[:, d:, 3 * half :] + gate_bias_s.astype(x.dtype)
+            act = jnp.tanh(t_pre) * jax.nn.sigmoid(s_pre)
+        else:
+            act = jnp.tanh(branch_conv(gate_kernel_t, gate_bias_t)) * jax.nn.sigmoid(
+                branch_conv(gate_kernel_s, gate_bias_s)
+            )
         rs = act @ rs_kernel[0] + rs_bias.astype(x.dtype)
         r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
 
@@ -182,6 +205,7 @@ class ResidualStack(nn.Module):
     base_dilation: int = 2
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
+    fuse_gate_dots: bool = False
 
     @staticmethod
     def build_dilations(n_layers: int, n_stacks: int, base_dilation: int) -> Sequence[int]:
@@ -201,7 +225,15 @@ class ResidualStack(nn.Module):
         return self.compute_receptive_fields(self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation)[-1]
 
     @nn.compact
-    def __call__(self, x, skip_size: int):
+    def __call__(self, x, skip_size: int, collect_tails: bool = False):
+        """Returns the list of per-block skips, each (B, skip, C).
+
+        ``collect_tails=True`` (fast-generation priming): additionally return
+        per-block history tails — the last ``dilation`` frames of each block's
+        INPUT, whose final column is time-aligned with the stack's final
+        output column — which seed the circular buffers of
+        ``WaveNet._generate_fast``.
+        """
         # The reference defaults ``in_channels = res_channels`` and then tests
         # ``if self.in_channels is not None`` — always true — so its stack
         # ALWAYS applies a 1x1 in_transform conv (wavenet_modules.py:144-163,
@@ -209,6 +241,7 @@ class ResidualStack(nn.Module):
         # for parity (trained checkpoints depend on it).
         o = Conv1d(features=self.res_channels, kernel_size=1, dtype=self.dtype)(x)
         skips = []
+        tails = []
         for dilation in self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation):
             block = Conv1dResidualGLU(
                 res_channels=self.res_channels,
@@ -217,7 +250,10 @@ class ResidualStack(nn.Module):
                 kernel_size=self.kernel_size,
                 dilation=dilation,
                 dtype=self.dtype,
+                fuse_gate_dots=self.fuse_gate_dots,
             )
+            if collect_tails:
+                tails.append(o[:, -dilation:])
             if self.remat:
                 # remat the call, not the class — parameter paths stay identical
                 # so checkpoints transfer between remat settings
@@ -225,6 +261,8 @@ class ResidualStack(nn.Module):
             else:
                 o, s = block(o, skip_size)
             skips.append(s)
+        if collect_tails:
+            return skips, tails
         return skips
 
 

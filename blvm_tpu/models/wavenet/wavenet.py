@@ -58,6 +58,9 @@ class WaveNet(BaseModel):
     n_stack_frames: int = 1
     remat: bool = False
     bf16: bool = False
+    # measured-negative ablation (54.5 → 72.2 ms/step on v5e); see
+    # modules.Conv1dResidualGLU.fuse_gate_dots
+    fuse_gate_dots: bool = False
 
     def setup(self):
         if self.embedding_dim is not None and self.n_stack_frames > 1:
@@ -85,6 +88,7 @@ class WaveNet(BaseModel):
             base_dilation=self.base_dilation,
             remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else None,
+            fuse_gate_dots=self.fuse_gate_dots,
         )
 
         self.out_transform = PointwiseTransform(self.res_channels * self.n_stack_frames)
@@ -109,7 +113,12 @@ class WaveNet(BaseModel):
         """Masked negative log-likelihood normalized by Σ x_sl
         (reference ``wavenet.py:128-146``)."""
         seq_mask = sequence_mask(x_sl, max_len=y.shape[1], dtype=jnp.float32)  # (B, T)
-        log_prob_twise = self.likelihood_head.log_prob(y, parameters) * seq_mask  # (B, T)
+        if y.ndim == 2:
+            # categorical targets stay (B, T) ints — the gather consumes no
+            # channel axis, so there is nothing to reduce per frame
+            log_prob_twise = self.likelihood_head.log_prob(y, parameters, reduce_dim=None) * seq_mask
+        else:
+            log_prob_twise = self.likelihood_head.log_prob(y, parameters) * seq_mask  # (B, T)
         log_prob = log_prob_twise.reshape(y.shape[0], -1).sum(axis=1)  # (B,)
         loss = -log_prob.sum() / x_sl.sum()
         return loss, log_prob, log_prob_twise
@@ -142,11 +151,14 @@ class WaveNet(BaseModel):
         else:
             p = 0
 
+        # categorical (discretized/mu-law) targets stay integer (B, T); every
+        # density head scores a trailing channel axis
+        add_y_channel = self.likelihood.lower() != "categorical"
         if self.embedding is None:
             x = x[..., None] if x.ndim == 2 else x  # (B, T, 1)
-            y = y[..., None] if y.ndim == 2 else y
         else:
             x = self.embedding(x.astype(jnp.int32))  # (B, T, C)
+        if add_y_channel:
             y = y[..., None] if y.ndim == 2 else y
 
         T = x.shape[1]
@@ -226,9 +238,133 @@ class WaveNet(BaseModel):
     def forward_split(self, x, x_sl, i_split: int, y=None):
         return self(x, x_sl, y=y, pad_causal=True, pad_receptive_field=(i_split == 0))
 
-    def generate(self, n_samples: int, n_frames: int = 16000, x: Optional[jnp.ndarray] = None):
+    def generate(
+        self, n_samples: int, n_frames: int = 16000, x: Optional[jnp.ndarray] = None, fast: bool = True
+    ):
+        """Ancestral sampling (jittable; no per-frame dispatch).
+
+        ``fast=True`` (default, Fast-WaveNet): per-layer circular history
+        buffers as the ``lax.scan`` carry — O(n_layers·C²) per emitted frame
+        instead of a full receptive-field forward (O(rf·n_layers·C²)). Same
+        keys, same contractions, same sample stream as the naive path (the
+        reference's Python loop re-runs the full window every frame,
+        ``wavenet.py:254-293`` — this path beats it algorithmically).
+        Falls back to the windowed scan for stacked-frame or k≠2 configs.
+        """
+        if fast and self.kernel_size == 2 and self.n_stack_frames == 1:
+            return self._generate_fast(n_samples, n_frames, x)
+        return self._generate_naive(n_samples, n_frames, x)
+
+    def _prediction_to_input(self, pred):
+        pred_in = self.embedding(pred.astype(jnp.int32)) if self.embedding is not None else pred
+        if pred_in.ndim == 2:
+            pred_in = pred_in[:, None, :]
+        return pred_in
+
+    def _emit_frame(self, skips, step_key):
+        """Skip-sum → head → sample for a single output column."""
+        summed = sum(at_least_f32(s) for s in skips) * self.variance_scale
+        logits = self.out_transform(summed)
+        parameters = self.likelihood_head(logits)
+        return self.likelihood_head.rsample(step_key, parameters)
+
+    def _generate_fast(self, n_samples: int, n_frames: int, x: Optional[jnp.ndarray]):
+        """Fast-WaveNet step loop.
+
+        The per-frame work of the residual chain is expressed as an INNER
+        ``lax.scan`` over the 50 blocks with their parameters stacked on a
+        leading block axis — the step executes the exact contractions of
+        ``Conv1dResidualGLU`` (one output column: ``k[0]ᵀx[t-d] + k[1]ᵀx[t]``)
+        but compiles as a ~15-op loop body instead of ~300 unrolled ops
+        (measured: the unrolled form took ~9 min of XLA compile on a v5e
+        relay; execution itself is sub-millisecond per frame either way).
+
+        Each block's ``x[t-d]`` comes from a circular history buffer at slot
+        ``t % d`` — that slot was written ``d`` steps ago, exactly the frame
+        falling out of range. Buffers are seeded by the priming forward's
+        ``collect_tails`` (last ``d`` input frames per block, final column
+        time-aligned with the stack's output column).
+        """
+        rf = self.receptive_field
+        if x is None:
+            if self.embedding is None:
+                x = jnp.zeros((n_samples, rf, self.in_channels), jnp.float32)
+            else:
+                x = self.embedding(jnp.zeros((n_samples, rf), jnp.int32))
+
+        key = self.make_rng("sample")
+        keys = jax.random.split(key, n_frames)
+
+        # prime: ONE windowed forward over the history; collect each block's
+        # last-``dilation`` input frames to seed the circular buffers, and
+        # sample the first frame from its output column
+        causal_out = self.causal(x, pad_causal=False)
+        skips, tails = self.res_stack(causal_out, 1, collect_tails=True)
+        pred0 = self._emit_frame(skips, keys[0])  # (B, 1)
+
+        # ---- stack per-block params / buffers on a leading block axis ------
+        dilations = ResidualStack.build_dilations(
+            self.res_stack.n_layers, self.res_stack.n_stacks, self.res_stack.base_dilation
+        )
+        n_blocks, max_d = len(dilations), max(dilations)
+        rs_params = self.res_stack.variables["params"]
+        blocks = [rs_params[f"Conv1dResidualGLU_{i}"] for i in range(n_blocks)]
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+
+        def stacked(name):
+            return jnp.stack([b[name] for b in blocks]).astype(dtype)
+
+        w_t, w_s = stacked("gate_kernel_t"), stacked("gate_kernel_s")  # (L, 2, C, half)
+        b_t, b_s = stacked("gate_bias_t"), stacked("gate_bias_s")  # (L, half)
+        w_rs, b_rs = stacked("rs_kernel"), stacked("rs_bias")  # (L, 1, half, R+S), (L, R+S)
+        in_kernel = rs_params["Conv1d_0"]["kernel"].astype(dtype)  # (1, C_in, C)
+        in_bias = rs_params["Conv1d_0"]["bias"].astype(dtype)
+        dil_arr = jnp.asarray(dilations, jnp.int32)
+        # circular buffers: (L, B, max_d, C), block i valid in [0:dilations[i]]
+        buffers0 = jnp.stack(
+            [jnp.pad(t.astype(dtype), ((0, 0), (0, max_d - d), (0, 0))) for t, d in zip(tails, dilations)]
+        )
+        inv_std = math.sqrt(0.5)
+        R = self.res_channels
+
+        def block_step(carry, xs):
+            h, acc = carry  # (B, 1, C) block input, f32 skip accumulator
+            wt, ws, wrs, bt, bs, brs, buf, slot = xs
+            old = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)  # x[t-d]
+            new_buf = jax.lax.dynamic_update_slice_in_dim(buf, h, slot, axis=1)
+            t_pre = old @ wt[0] + h @ wt[1] + bt
+            s_pre = old @ ws[0] + h @ ws[1] + bs
+            act = jnp.tanh(t_pre) * jax.nn.sigmoid(s_pre)
+            rs = act @ wrs[0] + brs
+            r, s = rs[..., :R], rs[..., R:]
+            # accumulate skips IN BLOCK ORDER — matches the sequential
+            # ``sum(at_least_f32(s) for s in skips)`` of the windowed path
+            return ((h + r) * inv_std, acc + at_least_f32(s)), new_buf
+
+        def step(carry, step_key):
+            prev2, prev1, buffers, idx = carry
+            c = self.causal(jnp.concatenate([prev2, prev1], axis=1), pad_causal=False)  # (B, 1, C)
+            h0 = c.astype(dtype) @ in_kernel[0] + in_bias  # res_stack in_transform
+            acc0 = jnp.zeros(h0.shape[:2] + (w_rs.shape[-1] - R,), jnp.float32)
+            slots = jax.lax.rem(idx, dil_arr)  # (L,)
+            (_, acc), buffers = jax.lax.scan(
+                block_step, (h0, acc0), (w_t, w_s, w_rs, b_t, b_s, b_rs, buffers, slots)
+            )
+            logits = self.out_transform(acc * self.variance_scale)
+            parameters = self.likelihood_head(logits)
+            pred = self.likelihood_head.rsample(step_key, parameters)
+            return (prev1, self._prediction_to_input(pred), buffers, idx + 1), pred
+
+        carry0 = (x[:, -1:], self._prediction_to_input(pred0), buffers0, jnp.int32(0))
+        _, preds = jax.lax.scan(step, carry0, keys[1:])
+        preds = jnp.moveaxis(preds, 0, 1).reshape(n_samples, -1)  # (B, n_frames-1)
+        return jnp.concatenate([pred0.reshape(n_samples, -1), preds], axis=1)
+
+    def _generate_naive(self, n_samples: int, n_frames: int = 16000, x: Optional[jnp.ndarray] = None):
         """Ancestral sampling with a FIFO receptive-field window, as one
-        ``lax.scan`` over frames (jittable; no per-frame dispatch)."""
+        ``lax.scan`` over frames — every step re-runs the full window
+        (reference semantics; kept as the oracle for the fast path and for
+        stacked-frame/k≠2 configs)."""
         rf = self.receptive_field
         C = self.in_channels * self.n_stack_frames
 

@@ -250,3 +250,45 @@ class TestGenerate:
         )
         assert samples.shape == (2, 20)
         assert float(jnp.max(jnp.abs(samples))) <= 1.0
+
+    @pytest.mark.parametrize("bf16", [False, True])
+    def test_fast_matches_naive(self, bf16):
+        """Fast-WaveNet circular-buffer generation must reproduce the windowed
+        scan sample-for-sample (same keys, same contractions per column)."""
+        model = make_model(n_layers=3, n_stacks=2, bf16=bf16)
+        x = jnp.zeros((1, 64))
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.array([64]))
+        # history both zero (default) and a real waveform prefix
+        rng = np.random.default_rng(0)
+        histories = [None, jnp.asarray(rng.uniform(-1, 1, (2, model.receptive_field, 1)), jnp.float32)]
+        for history in histories:
+            outs = {}
+            for fast in (False, True):
+                outs[fast] = model.apply(
+                    variables,
+                    n_samples=2,
+                    n_frames=40,
+                    x=history,
+                    fast=fast,
+                    rngs={"sample": jax.random.PRNGKey(3)},
+                    method=WaveNet.generate,
+                )
+            tol = 5e-2 if bf16 else 1e-5  # bf16 gate tanh/sigmoid amplifies ulp differences
+            np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]), atol=tol, rtol=0)
+
+    def test_fast_matches_naive_embedding(self):
+        model = make_model(n_layers=3, n_stacks=1, embedding_dim=12, num_bins=17, likelihood="categorical")
+        x = jnp.zeros((1, 64), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.array([64]))
+        outs = {}
+        for fast in (False, True):
+            outs[fast] = model.apply(
+                variables,
+                n_samples=2,
+                n_frames=40,
+                fast=fast,
+                rngs={"sample": jax.random.PRNGKey(3)},
+                method=WaveNet.generate,
+            )
+        # categorical samples are discrete — any numeric drift would flip bins
+        np.testing.assert_array_equal(np.asarray(outs[True]), np.asarray(outs[False]))
