@@ -111,13 +111,18 @@ def _simple_loss(model, **kw):
     return loss_fn
 
 
+REMAT = False  # set by --remat: rematerialize residual blocks in the backward
+
+
 def build_wavenet(bf16):
     from blvm_tpu.models import WaveNet
 
     model = WaveNet(
-        n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS, bf16=bf16
+        n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS,
+        bf16=bf16, remat=REMAT,
     )
-    return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, "bf16" if bf16 else "f32"
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "")
+    return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, dtype
 
 
 def build_lstm(bf16):
@@ -158,8 +163,9 @@ def build_stcn(bf16):
     from blvm_tpu.models import STCN
 
     B, T = 8, 16000
-    model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16)
-    return model, _simple_loss(model), _audio_batches(B, T), B * T, "bf16" if bf16 else "f32"
+    model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16, remat=REMAT)
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "")
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, dtype
 
 
 def build_ctc(bf16):
@@ -299,13 +305,68 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     return result
 
 
+def bench_generation(bf16, fast, n_frames):
+    """WaveNet ancestral sampling throughput (flagship config, B=2 sequences).
+
+    ``fast`` times the Fast-WaveNet circular-buffer scan (the default
+    generation path); ``fast=False`` times the windowed-rescan oracle. Timing
+    is closed by device_get of the last emitted frame (the scan chain forces
+    every step); two lengths are timed and the per-frame times of the longer
+    run are reported with a linearity flag against the shorter.
+    """
+    from blvm_tpu.models import WaveNet
+
+    model = WaveNet(
+        n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS, bf16=bf16
+    )
+    x0 = jnp.zeros((1, model.receptive_field + 8), jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, x0, jnp.full((1,), x0.shape[1], jnp.int32))
+    )(jax.random.PRNGKey(0))
+
+    def timed(n, key):
+        gen = jax.jit(
+            lambda params, k: model.apply(
+                {"params": params}, n_samples=2, n_frames=n, fast=fast, rngs={"sample": k},
+                method=type(model).generate,
+            )
+        )
+        float(jax.device_get(gen(variables["params"], jax.random.PRNGKey(0))[0, -1]))  # compile+warm
+        t0 = time.perf_counter()
+        float(jax.device_get(gen(variables["params"], key)[0, -1]))
+        return (time.perf_counter() - t0) / n
+
+    per_frame_a = timed(max(200, n_frames // 8), jax.random.PRNGKey(1))
+    per_frame_b = timed(n_frames, jax.random.PRNGKey(2))
+    linear = abs(per_frame_a - per_frame_b) <= 0.25 * max(per_frame_a, per_frame_b)
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    return {
+        "metric": "wavenet_generation_frames_per_sec",
+        "value": round(1.0 / per_frame_b, 1),
+        "unit": "frames/s",
+        "vs_baseline": round((1.0 / per_frame_b) / 452.0, 3),  # round-2 windowed-scan figure
+        "n_frames": n_frames,
+        "path": "fast" if fast else "windowed",
+        "device_kind": kind,
+        "dtype": "bf16" if bf16 else "f32",
+        "timing_linear": linear,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument("--all", action="store_true", help="benchmark every family (one JSON line each)")
     parser.add_argument("--families", type=str, default=None, help="comma-separated subset of " + ",".join(FAMILIES))
     parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
     parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
+    parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
+    parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
+    parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
+    parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     args = parser.parse_args()
+
+    global REMAT
+    REMAT = args.remat
 
     try:  # persistent compile cache if the backend supports it (harmless if not)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -317,6 +378,10 @@ def main():
 
     make_mesh(1)
     bf16 = not args.f32
+
+    if args.generation:
+        print(json.dumps(bench_generation(bf16, fast=not args.gen_naive, n_frames=args.gen_frames)))
+        return
 
     if args.families:
         names = [n.strip() for n in args.families.split(",") if n.strip()]
