@@ -32,6 +32,7 @@ from blvm_tpu.modules.distributions import (
     DiscretizedLogisticMixtureDense,
     softplus_beta,
 )
+from blvm_tpu.ops.likelihoods import at_least_f32
 from blvm_tpu.ops.sequence import sequence_mask, stack_tensor
 from blvm_tpu.ops.variational import (
     discount_free_nats,
@@ -48,19 +49,26 @@ def _leaky_relu(v):
 
 class DiagonalGaussianDenseSTCN(nn.Module):
     """Two-branch (µ, σ) 3-layer MLP head with calibrated softplus sd
-    (reference ``stcn.py:32-74``)."""
+    (reference ``stcn.py:32-74``).
+
+    ``dtype=bfloat16`` runs the six dense matmuls on the MXU at double rate;
+    the returned µ/σ (and the softplus calibration) are always f32 — the
+    KL/rsample math downstream stays full precision."""
 
     out_channels: int
     hidden_channels: int
     init_sd_mean: float = 1.0
     epsilon: float = 1e-3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        mu = MLP([self.hidden_channels, self.hidden_channels, self.out_channels], activation=_leaky_relu, activate_final=False)(x)
-        sd = MLP([self.hidden_channels, self.hidden_channels, self.out_channels], activation=_leaky_relu, activate_final=False)(x)
+        sizes = [self.hidden_channels, self.hidden_channels, self.out_channels]
+        mu = MLP(sizes, activation=_leaky_relu, activate_final=False, dtype=self.dtype)(x)
+        sd = MLP(sizes, activation=_leaky_relu, activate_final=False, dtype=self.dtype)(x)
+        mu = at_least_f32(mu)
         beta = math.log(2.0) / (self.init_sd_mean - self.epsilon)
-        sd = softplus_beta(sd, beta) + self.epsilon
+        sd = softplus_beta(at_least_f32(sd), beta) + self.epsilon
         return mu, sd
 
 
@@ -79,6 +87,9 @@ class STCN(BaseModel):
     top_down: bool = True
     remat: bool = False
     bf16: bool = False
+    # measured-negative ablation (slower on v5e); see
+    # wavenet.modules.Conv1dResidualGLU.fuse_gate_dots
+    fuse_gate_dots: bool = False
 
     def setup(self):
         n_latents = len(self.latent_size)
@@ -96,6 +107,7 @@ class STCN(BaseModel):
             base_dilation=self.base_dilation,
             remat=self.remat,
             dtype=dtype,
+            fuse_gate_dots=self.fuse_gate_dots,
         )
 
         # priors/posteriors per latent, conditioned on the level above (top-down)
@@ -106,20 +118,32 @@ class STCN(BaseModel):
         heads_q = [None] * n_latents
         for i, l in enumerate(order):
             heads_p[l] = DiagonalGaussianDenseSTCN(
-                out_channels=self.latent_size[l], hidden_channels=self.res_channels, init_sd_mean=0.5, name=f"prior_{l}"
+                out_channels=self.latent_size[l],
+                hidden_channels=self.res_channels,
+                init_sd_mean=0.5,
+                dtype=dtype,
+                name=f"prior_{l}",
             )
             heads_q[l] = DiagonalGaussianDenseSTCN(
-                out_channels=self.latent_size[l], hidden_channels=self.res_channels, init_sd_mean=0.1, name=f"posterior_{l}"
+                out_channels=self.latent_size[l],
+                hidden_channels=self.res_channels,
+                init_sd_mean=0.1,
+                dtype=dtype,
+                name=f"posterior_{l}",
             )
         self.priors = heads_p
         self.posteriors = heads_q
 
+        # decode stack in the compute dtype too — at the benchmark config it
+        # is ~4 MFLOP/frame of otherwise-f32 conv work
         self.out_transform = ResidualStack(
             n_layers=self.n_layers,
             n_stacks=1,
             res_channels=self.res_channels,
             kernel_size=self.kernel_size,
             base_dilation=1,
+            dtype=dtype,
+            fuse_gate_dots=self.fuse_gate_dots,
         )
         self._out_rf = ResidualStack.compute_receptive_fields(self.n_layers, 1, self.kernel_size, 1)[-1]
         self.inv_std = 1.0 / math.sqrt(n_stacks)
@@ -249,7 +273,9 @@ class STCN(BaseModel):
         logits_in = jnp.pad(logits_in, ((0, 0), (self._out_rf - 1, 0), (0, 0)))
         skip_logits = self.out_transform(logits_in, skip_size=T)
 
-        logits = sum(skip_logits) * self.inv_std  # (B, T, C)
+        # skip sum and everything from here f32 (likelihood parity surface,
+        # mirroring WaveNet's skip-sum policy)
+        logits = sum(at_least_f32(s) for s in skip_logits) * self.inv_std  # (B, T, C)
         logits = self.out_upsample(logits)
 
         if self.n_stack_frames > 1:
