@@ -184,7 +184,7 @@ class STCN(BaseModel):
         """Hierarchical inference from every n-th skip with one-frame shift
         (reference ``stcn.py:299-326``). Skips are (B, T+1, C)."""
         n = self._n_latents
-        d = skips[n - 1 :: n]  # one per latent level, bottom→top
+        d = skips[n - 1 :: n][:n]  # one per latent level, bottom→top
         d_p = [d_[:, :-1] for d_ in d]  # prior input: frames ..t-1
         d_q = [d_[:, 1:] for d_ in d]  # posterior input: frames ..t
 
@@ -198,8 +198,19 @@ class STCN(BaseModel):
                 in_p, in_q = d_p[l], d_q[l]
             else:
                 l_cond = l + 1 if self.top_down else l - 1
-                in_p = jnp.concatenate([d_p[l], z[l_cond]], axis=-1)
-                in_q = jnp.concatenate([d_q[l], z[l_cond]], axis=-1)
+                # z is carried in f32 for the KL/rsample math; the head MLPs
+                # cast their input to the compute dtype anyway, so casting z
+                # BEFORE the concat is bitwise-identical forward and keeps the
+                # concatenated conditioning tensor in bf16 (halves its HBM
+                # footprint when the stack runs bf16). Two separate casts (not
+                # one shared) so each cast's cotangent is widened to f32
+                # before summation at z. Backward is exact in f32 mode; in
+                # bf16 mode the d_p/d_q cotangents now sum at the skip in bf16
+                # (measured ~2e-6 relative on gradient norms — the same
+                # rounding the bf16 stack backward performs everywhere else).
+                dt = d_p[l].dtype
+                in_p = jnp.concatenate([d_p[l], z[l_cond].astype(dt)], axis=-1)
+                in_q = jnp.concatenate([d_q[l], z[l_cond].astype(dt)], axis=-1)
 
             mu_p[l], sd_p[l] = self.priors[l](in_p)
             mu_q[l], sd_q[l] = self.posteriors[l](in_q)
@@ -264,12 +275,28 @@ class STCN(BaseModel):
                 raise ValueError(f"Input must be at least as long as the receptive field if {pad_receptive_field=}")
 
         output = self.causal(x, pad_causal=False)
-        skip_connections = self.res_stack(output, skip_size=T + 1)  # each (B, T+1, C)
-        skip_connections = [s_.astype(jnp.float32) for s_ in skip_connections]  # latent math in f32
+        # ``infer`` reads only every n_latents-th skip (``d = skips[n-1::n]``,
+        # matching reference ``stcn.py:299-326``); the mask stops the other
+        # blocks from computing/materializing skips that are provably dead
+        # (zero gradient) — ~20 of 25 (B, T+1, C) tensors at the flagship.
+        n_blocks = self.n_layers * self._n_stacks
+        used = set(list(range(self._n_latents - 1, n_blocks, self._n_latents))[: self._n_latents])
+        skip_mask = [i in used for i in range(n_blocks)]
+        skip_connections = self.res_stack(output, skip_size=T + 1, skip_mask=skip_mask)  # used ones (B, T+1, C)
+        # Skips stay in the stack's compute dtype (bf16 when enabled): their
+        # only consumers — the latent-head MLPs and the decode stack — cast
+        # their input to bf16 anyway, so a bf16→f32→bf16 round trip here is
+        # bitwise-identical but materializes ~2.6 GB of f32 skips per flagship
+        # step (profiler-measured; the f32 latent math happens INSIDE the
+        # heads via ``at_least_f32`` on µ/σ, not on the skips).
 
         mu_p, sd_p, mu_q, sd_q, z = self.infer(skip_connections)
 
-        logits_in = jnp.concatenate(z, axis=-1) if self.dense else z[0]
+        # decode consumes z in the compute dtype (the stack's in_transform
+        # casts to bf16 regardless — concat-then-cast == cast-then-concat)
+        # (no cast in full-precision mode — the parity suite runs in f64)
+        z_dec = [z_.astype(jnp.bfloat16) for z_ in z] if self.bf16 else z
+        logits_in = jnp.concatenate(z_dec, axis=-1) if self.dense else z_dec[0]
         logits_in = jnp.pad(logits_in, ((0, 0), (self._out_rf - 1, 0), (0, 0)))
         skip_logits = self.out_transform(logits_in, skip_size=T)
 

@@ -97,6 +97,14 @@ class Conv1dResidualGLU(nn.Module):
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
     fuse_gate_dots: bool = False
+    # need_skip=False: the caller discards this block's skip (STCN reads only
+    # every n-th — ``stcn.py:187``), so contract only the residual columns of
+    # ``rs_kernel`` and return ``(o, None)``. Params keep the full joint shape
+    # (checkpoint-compatible) and a column-sliced dot is bitwise equal to
+    # slicing the full dot's output; the dead skip columns received zero
+    # gradient anyway, so training dynamics are identical — this just stops
+    # computing and materializing ~(B, T, skip_channels) per dead block.
+    need_skip: bool = True
 
     @nn.compact
     def __call__(self, x, skip_size: int):
@@ -182,10 +190,13 @@ class Conv1dResidualGLU(nn.Module):
             act = jnp.tanh(branch_conv(gate_kernel_t, gate_bias_t)) * jax.nn.sigmoid(
                 branch_conv(gate_kernel_s, gate_bias_s)
             )
-        rs = act @ rs_kernel[0] + rs_bias.astype(x.dtype)
-        r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
-
-        s = s[:, -skip_size:]  # keep only the (unpadded) output region
+        if self.need_skip:
+            rs = act @ rs_kernel[0] + rs_bias.astype(x.dtype)
+            r, s = rs[..., : self.res_channels], rs[..., self.res_channels :]
+            s = s[:, -skip_size:]  # keep only the (unpadded) output region
+        else:
+            r = act @ rs_kernel[0, :, : self.res_channels] + rs_bias[: self.res_channels].astype(x.dtype)
+            s = None
         x = x[:, -r.shape[1] :]  # drop what the dilated kernel consumed
         o = (r + x) * inv_std
         return o, s
@@ -225,7 +236,7 @@ class ResidualStack(nn.Module):
         return self.compute_receptive_fields(self.n_layers, self.n_stacks, self.kernel_size, self.base_dilation)[-1]
 
     @nn.compact
-    def __call__(self, x, skip_size: int, collect_tails: bool = False):
+    def __call__(self, x, skip_size: int, collect_tails: bool = False, skip_mask: Optional[Sequence[bool]] = None):
         """Returns the list of per-block skips, each (B, skip, C).
 
         ``collect_tails=True`` (fast-generation priming): additionally return
@@ -233,6 +244,12 @@ class ResidualStack(nn.Module):
         INPUT, whose final column is time-aligned with the stack's final
         output column — which seed the circular buffers of
         ``WaveNet._generate_fast``.
+
+        ``skip_mask`` (one bool per block, default all-True): blocks marked
+        False do not compute their skip output at all (see
+        ``Conv1dResidualGLU.need_skip``) and contribute ``None`` at their
+        position in the returned list — for callers like STCN that only read
+        every n-th skip (``stcn.py:187``).
         """
         # The reference defaults ``in_channels = res_channels`` and then tests
         # ``if self.in_channels is not None`` — always true — so its stack
@@ -242,7 +259,10 @@ class ResidualStack(nn.Module):
         o = Conv1d(features=self.res_channels, kernel_size=1, dtype=self.dtype)(x)
         skips = []
         tails = []
-        for dilation in self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation):
+        dilations = self.build_dilations(self.n_layers, self.n_stacks, self.base_dilation)
+        if skip_mask is None:
+            skip_mask = [True] * len(dilations)
+        for dilation, need_skip in zip(dilations, skip_mask):
             block = Conv1dResidualGLU(
                 res_channels=self.res_channels,
                 skip_channels=self.skip_channels,
@@ -251,6 +271,7 @@ class ResidualStack(nn.Module):
                 dilation=dilation,
                 dtype=self.dtype,
                 fuse_gate_dots=self.fuse_gate_dots,
+                need_skip=need_skip,
             )
             if collect_tails:
                 tails.append(o[:, -dilation:])

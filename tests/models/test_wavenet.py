@@ -292,3 +292,53 @@ class TestGenerate:
             )
         # categorical samples are discrete — any numeric drift would flip bins
         np.testing.assert_array_equal(np.asarray(outs[True]), np.asarray(outs[False]))
+
+
+class TestSkipMask:
+    """``ResidualStack(skip_mask=...)`` — dead-skip elimination used by STCN
+    (only every n-th skip feeds ``STCN.infer``, ``stcn.py:187``)."""
+
+    def test_masked_blocks_return_none_and_rest_match_exactly(self):
+        stack = ResidualStack(n_layers=2, n_stacks=2, res_channels=8)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 8)), jnp.float32)
+        v = stack.init(jax.random.PRNGKey(0), x, skip_size=32)
+        full = stack.apply(v, x, skip_size=32)
+        mask = [False, True, False, True]
+        masked = stack.apply(v, x, skip_size=32, skip_mask=mask)
+        assert len(masked) == len(full) == 4
+        for keep, s_full, s_masked in zip(mask, full, masked):
+            if keep:
+                # column-sliced dot == slicing the full dot's output, bitwise
+                np.testing.assert_array_equal(np.asarray(s_masked), np.asarray(s_full))
+            else:
+                assert s_masked is None
+
+    def test_param_structure_unchanged(self):
+        stack = ResidualStack(n_layers=2, n_stacks=1, res_channels=8)
+        x = jnp.zeros((1, 40, 8), jnp.float32)
+        v_full = stack.init(jax.random.PRNGKey(0), x, skip_size=16)
+        v_masked = stack.init(jax.random.PRNGKey(0), x, skip_size=16, skip_mask=[False, False])
+        assert jax.tree_util.tree_structure(v_full) == jax.tree_util.tree_structure(v_masked)
+        chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), v_full, v_masked))
+        assert chex_equal
+
+    def test_masked_grads_equal_full_grads(self):
+        """Loss that ignores the dead skips must produce identical gradients
+        with and without the mask (the dead columns had zero grad anyway)."""
+        stack = ResidualStack(n_layers=2, n_stacks=1, res_channels=8)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 48, 8)), jnp.float32)
+        v = stack.init(jax.random.PRNGKey(0), x, skip_size=16)
+
+        def loss_full(params):
+            skips = stack.apply({"params": params}, x, skip_size=16)
+            return (skips[1] ** 2).sum()  # uses only block 1's skip
+
+        def loss_masked(params):
+            skips = stack.apply({"params": params}, x, skip_size=16, skip_mask=[False, True])
+            return (skips[1] ** 2).sum()
+
+        g_full = jax.grad(loss_full)(v["params"])
+        g_masked = jax.grad(loss_masked)(v["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), g_full, g_masked
+        )
