@@ -225,6 +225,42 @@ def time_steps(step, state, batches, schedules, n_steps, sync_every_step):
     return state, dt, float(jax.device_get(first_loss)), last
 
 
+def scan_chain_time(loss_fn, state, batches, n_steps):
+    """Time n_steps train steps embedded in ONE jitted ``lax.scan``.
+
+    For fast-step families the per-step relay dispatch cost dominates both
+    async-chain and per-step-sync timing (measured: the 7 ms LSTM step reads
+    as ~38 ms under per-step sync). A scan chain is a single dispatch whose
+    device program contains all n_steps updates, closed by device_get of the
+    per-step loss vector — it cannot be inflated by async artifacts (the work
+    physically completed) and carries no per-step host cost. This is also the
+    shape of a real TPU training loop (dispatch pipelining hides per-step
+    latency), so it is the number a user would see in production.
+
+    Returns (state, per_step_seconds, loss_first, loss_last).
+    """
+    from blvm_tpu.parallel import make_train_step
+
+    raw_step = make_train_step(loss_fn, jit=False)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[batches[i % len(batches)] for i in range(n_steps)])
+
+    @jax.jit
+    def chain(state, stacked):
+        def body(s, b):
+            s2, mets = raw_step(s, b, {})
+            return s2, mets["loss"]
+
+        return jax.lax.scan(body, state, stacked)
+
+    state, losses = chain(state, stacked)  # compile + warm
+    float(jax.device_get(losses[-1]))
+    t0 = time.perf_counter()
+    state, losses = chain(state, stacked)
+    losses = jax.device_get(losses)
+    dt = time.perf_counter() - t0
+    return state, dt / n_steps, float(losses[0]), float(losses[-1])
+
+
 def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     from blvm_tpu.parallel import make_train_step
     from blvm_tpu.training import TrainState, get_optimizer
@@ -264,18 +300,41 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     timing_mode = "async_chain"
     per_step = per_step_b
     implausible = fwd_flops is not None and fwd_flops / per_step > peak
+    if linear and not implausible and per_step < 0.020:
+        # Fast steps can be dispatch-bound even when linear: the relay adds a
+        # CONSTANT per-step dispatch latency, which passes the linearity check
+        # while hiding the device's true rate (measured: CTC 11.5 ms async vs
+        # its sub-7 ms device step). The scan chain (one dispatch for all
+        # steps, work forced by device_get of the loss vector) removes the
+        # host cost; both modes force the work, so take the faster reading.
+        try:
+            state, per_step_scan, lf, ll = scan_chain_time(loss_fn, state, batches, steps_b)
+            if per_step_scan < per_step:
+                per_step, loss_first, loss_last = per_step_scan, lf, ll
+                timing_mode = "scan_chain"
+        except Exception as e:
+            print(f"scan-chain timing failed for {name} ({type(e).__name__}); keeping async_chain", file=sys.stderr)
     if not linear or implausible:
-        # async dispatch on the relay is not trustworthy — fall back to
-        # per-step host sync (strict lower bound on true throughput)
-        timing_mode = "per_step_sync"
-        n_sync = max(10, steps_b // 2)
-        state, dt_s, loss_first, loss_last = time_steps(step, state, batches, {}, n_sync, sync_every_step=True)
-        per_step = dt_s / n_sync
+        # async dispatch on the relay is not trustworthy for this family
+        # (non-linear = per-step dispatch latency dominates, or implausible =
+        # async inflation). Re-measure as ONE jitted scan over the steps: a
+        # single dispatch containing all the work, closed by device_get of the
+        # per-step losses — immune to both failure modes.
+        try:
+            state, per_step, loss_first, loss_last = scan_chain_time(loss_fn, state, batches, steps_b)
+            timing_mode = "scan_chain"
+        except Exception as e:
+            print(f"scan-chain timing failed for {name} ({type(e).__name__}); per-step sync fallback", file=sys.stderr)
+            # strict lower bound: every step closed by host sync
+            timing_mode = "per_step_sync"
+            n_sync = max(10, steps_b // 2)
+            state, dt_s, loss_first, loss_last = time_steps(step, state, batches, {}, n_sync, sync_every_step=True)
+            per_step = dt_s / n_sync
 
     if fwd_flops is not None and fwd_flops / per_step > peak:
         print(
             f"IMPLAUSIBLE MEASUREMENT ({name}): forward-only lower bound {fwd_flops / per_step:.3e} "
-            f"FLOP/s exceeds {kind} peak {peak:.3e} even with per-step sync — refusing to report",
+            f"FLOP/s exceeds {kind} peak {peak:.3e} even in {timing_mode} mode — refusing to report",
             file=sys.stderr,
         )
         sys.exit(1)

@@ -25,6 +25,7 @@ def make_train_step(
     donate: bool = True,
     return_outputs: bool = False,
     log_norms: bool = False,
+    jit: bool = True,
 ):
     """Build a jitted sharded train step.
 
@@ -40,6 +41,10 @@ def make_train_step(
             (TPU-cheap replacement for the reference's ``wandb.watch``
             gradient histograms — SURVEY §5.1; histograms would force large
             host transfers every step).
+        jit: when False, return the raw python step (no jit, no sharding
+            constraints, no donation) — for callers that embed the step in a
+            larger traced program, e.g. a ``lax.scan`` over steps (bench.py's
+            scan-chain timing mode).
 
     Returns ``step(state, batch, scalars) -> (state, mets[, outputs])``.
     """
@@ -63,6 +68,8 @@ def make_train_step(
             return state, mets, outputs
         return state, mets
 
+    if not jit:
+        return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(
         step,

@@ -199,23 +199,35 @@ def main():
             state, mets = step(state, batches[i % 4], {})
             float(jax.device_get(mets["loss"]))
 
+        # Time BEFORE any cost/memory analysis: running ``.lower().compile()``
+        # + ``cost_analysis()`` against the axon relay knocks it out of async
+        # dispatch for the rest of the process — measured 111-249 ms/step for
+        # the identical program that times at ~55 ms/step when the analysis
+        # runs after the loop (three corrupted measurements in round 3 before
+        # this was isolated; bench.py, which never calls cost_analysis,
+        # measured 54.5 ms in the same process queue).
+        def timed(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, mets = step(state, batches[i % 4], {})
+            float(jax.device_get(mets["loss"]))
+            return (time.perf_counter() - t0) / n * 1e3
+
+        per_ms_a = timed(10)
+        per_ms = timed(50)
+        linear = abs(per_ms_a - per_ms) <= 0.25 * max(per_ms_a, per_ms)
+        print(f"measured: {per_ms:.2f} ms/step -> {B*T/per_ms*1e3:,.0f} samples/s (linearity {'OK' if linear else 'FAILED'})")
+
         compiled = jax.jit(step._fun if hasattr(step, "_fun") else step).lower(state, batches[1], {}).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         mem = compiled.memory_analysis()
         print(
-            f"\nXLA cost model: flops={ca.get('flops', 0)/1e12:.3f} T  "
+            f"XLA cost model: flops={ca.get('flops', 0)/1e12:.3f} T  "
             f"bytes={ca.get('bytes accessed', 0)/1e9:.1f} GB (pre-fusion overcount)  "
             f"temp alloc={mem.temp_size_in_bytes/1e9:.2f} GB"
         )
-
-        N = 50
-        t0 = time.perf_counter()
-        for i in range(N):
-            state, mets = step(state, batches[i % 4], {})
-        float(jax.device_get(mets["loss"]))
-        per_ms = (time.perf_counter() - t0) / N * 1e3
-        print(f"measured: {per_ms:.2f} ms/step -> {B*T/per_ms*1e3:,.0f} samples/s")
         print(
             f"attainment: {100*m['compute_floor_ms']/per_ms:.1f}% of compute ceiling "
             f"({100*m['compute_floor_padded_ms']/per_ms:.1f}% counting forced lane padding), "
