@@ -112,6 +112,14 @@ def _simple_loss(model, **kw):
 
 
 REMAT = False  # set by --remat: rematerialize residual blocks in the backward
+ACCUM = 1  # set by --accum: gradient-accumulation microbatches (exact frames-weighted update)
+
+# STCN's flagship step is HBM-capacity-bound: the monolithic B=8 step spills
+# (temp alloc 13 GB of 16 GB) at 170.9 ms/step, while 8 accumulated B=1
+# microbatches — the SAME frames-weighted update, equal loss — run 98.3 ms
+# (1.30M samples/s; accum 2/4 measured 131/102 ms). Production default for
+# the family; --accum overrides.
+FAMILY_ACCUM_DEFAULTS = {"stcn": 8}
 
 
 def build_wavenet(bf16):
@@ -121,7 +129,7 @@ def build_wavenet(bf16):
         n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS,
         bf16=bf16, remat=REMAT,
     )
-    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "")
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "")
     return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, dtype
 
 
@@ -164,7 +172,7 @@ def build_stcn(bf16):
 
     B, T = 8, 16000
     model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16, remat=REMAT)
-    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "")
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "")
     return model, _simple_loss(model), _audio_batches(B, T), B * T, dtype
 
 
@@ -275,7 +283,14 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     )
     tx = get_optimizer("Adam", 3e-4)
     state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2))
-    step = make_train_step(loss_fn)
+    step = make_train_step(
+        loss_fn,
+        accum=ACCUM,
+        # all families' losses are total_nats / total_frames (frames-weighted
+        # merge is exact); bench batches are equal-length so uniform would be
+        # equivalent, but use the production weighting the drivers use
+        loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if ACCUM > 1 else None,
+    )
 
     # warmup / compile — two steps: the first call's output state carries mesh
     # shardings, so the second call compiles the steady-state executable
@@ -419,13 +434,15 @@ def main():
     parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
     parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
+    parser.add_argument("--accum", type=int, default=1, help="gradient-accumulation microbatches (exact weighted update)")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     args = parser.parse_args()
 
-    global REMAT
+    global REMAT, ACCUM
     REMAT = args.remat
+    ACCUM = args.accum
 
     try:  # persistent compile cache if the backend supports it (harmless if not)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -454,6 +471,7 @@ def main():
 
     headline_only = names == ["wavenet"]
     for name in names:
+        ACCUM = args.accum if args.accum != 1 else FAMILY_ACCUM_DEFAULTS.get(name, 1)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
         result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)

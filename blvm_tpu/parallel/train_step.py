@@ -14,6 +14,7 @@ Models follow the contract ``apply({'params': p}, batch..., rngs=...) ->
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from blvm_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
 from blvm_tpu.training.train_state import TrainState
@@ -26,6 +27,8 @@ def make_train_step(
     return_outputs: bool = False,
     log_norms: bool = False,
     jit: bool = True,
+    accum: int = 1,
+    loss_weight: Optional[Callable] = None,
 ):
     """Build a jitted sharded train step.
 
@@ -45,6 +48,31 @@ def make_train_step(
             constraints, no donation) — for callers that embed the step in a
             larger traced program, e.g. a ``lax.scan`` over steps (bench.py's
             scan-chain timing mode).
+        accum: number of gradient-accumulation microbatches. The batch's
+            leading axis is split into ``accum`` equal row blocks, each run
+            through ``loss_fn`` in a ``lax.scan``; ONE optimizer update is
+            applied to the weighted-mean gradient. With the right weights the
+            update is mathematically the full-batch update — the point is HBM:
+            a capacity-bound model (STCN at the flagship shape: B=8 forces
+            XLA spills at 170.9 ms/step, two B=4 microbatches run 2x66.0 ms —
+            1.28x faster for the same global batch, NOTES.md round 3). Not a
+            reference feature (it has no memory-pressure escape at all —
+            its OOM answer is "use a smaller batch_len").
+        loss_weight: ``loss_weight(microbatch, mets) -> scalar`` giving each
+            microbatch's loss normalizer. Every audio model's loss is
+            total_nats / total_frames, so the full-batch gradient is the
+            frames-weighted mean of microbatch gradients:
+            ``lambda mb, mets: mb["x_sl"].sum()``. Default: equal weights
+            (exact for equal-length microbatches). Per-example metric leaves
+            are re-concatenated to the full batch, so ``build_metrics`` sees
+            exactly what a monolithic step would produce; scalar leaves are
+            weight-averaged (exact for the loss under the same condition).
+            One exception: LSTMAudio's numerator mask is clipped by the BATCH
+            max length (reference parity, ``lstm.py:111-113``), so its loss is
+            not batch-decomposable and accumulation deviates by the longest
+            example's final partial stack (measured 0.03% over 2 epochs on
+            ragged data). All other families are exact (tested for WaveNet to
+            float tolerance, ``tests/parallel/test_accum.py``).
 
     Returns ``step(state, batch, scalars) -> (state, mets[, outputs])``.
     """
@@ -54,10 +82,59 @@ def make_train_step(
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
 
+    if accum < 1:
+        raise ValueError(f"accum must be >= 1, got {accum}")
+    if accum > 1 and return_outputs:
+        raise ValueError("accum > 1 cannot return outputs (use the eval step for generation logging)")
+
     def step(state: TrainState, batch, scalars):
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (mets, outputs)), grads = grad_fn(state.params, step_rng, batch, scalars)
+        if accum == 1:
+            (loss, (mets, outputs)), grads = grad_fn(state.params, step_rng, batch, scalars)
+        else:
+            outputs = None
+            b0 = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b0 % accum != 0:
+                raise ValueError(f"batch size {b0} not divisible by accum={accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch
+            )
+            b_micro = b0 // accum
+
+            def body(carry, mb):
+                g_acc, w_acc, i = carry
+                (loss_i, (mets_i, _)), g_i = grad_fn(state.params, jax.random.fold_in(step_rng, i), mb, scalars)
+                w = jnp.float32(1.0) if loss_weight is None else jnp.asarray(loss_weight(mb, mets_i), jnp.float32)
+                # a microbatch of only zero-length padding rows has w == 0 and
+                # a 0/0 (NaN) normalized loss — mask instead of multiplying
+                # (NaN * 0 is NaN) so padding rows can never poison the update
+                safe = w > 0
+
+                def sanitize(m):
+                    m = jnp.asarray(m)
+                    if m.ndim >= 1 and m.shape[0] == b_micro:
+                        return m  # per-example leaf: concatenated, not averaged
+                    return jnp.where(safe, m, jnp.zeros_like(m))
+
+                mets_i = jax.tree_util.tree_map(sanitize, mets_i)
+                g_acc = jax.tree_util.tree_map(lambda a, b: a + jnp.where(safe, w * b, 0.0), g_acc, g_i)
+                return (g_acc, w_acc + w, i + 1), (loss_i, mets_i, w)
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, w_sum, _), (losses, mets_stacked, ws) = jax.lax.scan(
+                body, (g0, jnp.float32(0.0), jnp.int32(0)), micro
+            )
+            grads = jax.tree_util.tree_map(lambda g: (g / w_sum).astype(g.dtype), g_sum)
+
+            def merge(leaf):
+                # per-example leaves (leading dim == microbatch rows) -> full batch
+                if leaf.ndim >= 2 and leaf.shape[1] == b_micro:
+                    return leaf.reshape((accum * b_micro,) + leaf.shape[2:])
+                # scalar (or non-batch) leaves -> weighted mean over microbatches
+                return jnp.tensordot(ws / w_sum, leaf, axes=1)
+
+            mets = jax.tree_util.tree_map(merge, mets_stacked)
         if log_norms:
             mets = dict(mets)
             mets["grad_norm"] = optax.global_norm(grads)

@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     train_group.add_argument("--lr", type=float, default=3e-4)
     train_group.add_argument("--length_sampler", type=str2bool, default=False)
     train_group.add_argument("--debug_epoch_break_steps", type=int, default=None)
+    train_group.add_argument(
+        "--accum_steps",
+        type=int,
+        default=1,
+        help="gradient-accumulation microbatches per optimizer step; the update is the "
+        "frames-weighted full-batch gradient (exact), trading step latency for HBM "
+        "footprint — the capacity escape for STCN-sized models (NOTES.md round 3)",
+    )
 
     optim_group = parser.add_argument_group("optimizer")
     optim_group.add_argument("--optimizer", type=str, default="Adam")

@@ -205,7 +205,13 @@ def run_audio_training(
     mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size)
     # batches shard over the data axis only; pad the batch to its size
     n_devices = mesh.shape[DATA_AXIS]
-    LOGGER.info(f"mesh: {dict(mesh.shape)}; run dir: {run_dir}")
+    # gradient accumulation: train batches must also split into accum_steps
+    # equal row blocks, so they are padded to a multiple of both (the extra
+    # rows are zero-length — the bucket-invariant losses ignore them and the
+    # accumulated step masks all-padding microbatches, train_step.py)
+    accum_steps = int(getattr(args, "accum_steps", 1) or 1)
+    batch_multiple = n_devices * accum_steps
+    LOGGER.info(f"mesh: {dict(mesh.shape)}; accum_steps: {accum_steps}; run dir: {run_dir}")
 
     if process_count > 1:
         if n_devices % process_count != 0:
@@ -240,7 +246,7 @@ def run_audio_training(
         """Pad to the global mesh, then device-put: single-process via
         shard_batch; multi-host each process contributes its contiguous row
         block of the (identical, deterministically planned) global batch."""
-        x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
+        x, x_sl = pad_batch_to_devices(x, x_sl, batch_multiple)
         if process_count == 1:
             return shard_batch({"x": x, "x_sl": x_sl}, mesh)
         rows = x.shape[0] // process_count
@@ -252,7 +258,7 @@ def run_audio_training(
 
     # one warmup batch to initialize parameters
     (x0, x0_sl), _ = next(iter(pipeline.train_loader))
-    x0, x0_sl = pad_batch_to_devices(x0, x0_sl, n_devices)
+    x0, x0_sl = pad_batch_to_devices(x0, x0_sl, batch_multiple)
     params_key, rng_key = jax.random.split(root_key)
     # init inside jit: eager op-by-op initialization would trigger one device
     # compilation per op (catastrophic for the 50-layer conv stacks)
@@ -299,7 +305,15 @@ def run_audio_training(
         state = shard_train_state(state, mesh, tp_rules)
 
     log_norms = bool(getattr(args, "log_norms", False))
-    train_step = make_train_step(loss_fn, mesh=mesh, log_norms=log_norms)
+    train_step = make_train_step(
+        loss_fn,
+        mesh=mesh,
+        log_norms=log_norms,
+        accum=accum_steps,
+        # every audio model's loss is total_nats / total_frames, so microbatch
+        # gradients merge exactly when weighted by frames (train_step.py)
+        loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if accum_steps > 1 else None,
+    )
     eval_step = make_eval_step(loss_fn, mesh=mesh)
 
     # optional importance-weighted bound at eval time (tighter than the ELBO;
