@@ -114,12 +114,14 @@ def _simple_loss(model, **kw):
 REMAT = False  # set by --remat: rematerialize residual blocks in the backward
 ACCUM = 1  # set by --accum: gradient-accumulation microbatches (exact frames-weighted update)
 
-# STCN's flagship step is HBM-capacity-bound: the monolithic B=8 step spills
-# (temp alloc 13 GB of 16 GB) at 170.9 ms/step, while 8 accumulated B=1
-# microbatches — the SAME frames-weighted update, equal loss — run 98.3 ms
-# (1.30M samples/s; accum 2/4 measured 131/102 ms). Production default for
-# the family; --accum overrides.
-FAMILY_ACCUM_DEFAULTS = {"stcn": 8}
+# Capacity-bound steps run FASTER split into accumulated microbatches with
+# ONE frames-weighted optimizer update — the same math, measured equal loss:
+#   STCN (temp alloc 13 GB of 16 GB, spills): 170.9 -> 98.3 ms at accum=8
+#     (accum 2/4: 131/102 ms) = 1.30M samples/s;
+#   WaveNet flagship (9.2 GB temp): 54.5 -> 46.2 ms at accum=2 = 2.77M
+#     samples/s, 23.4% MFU (accum=4: 47.5 ms — past the sweet spot).
+# Production defaults per family; --accum overrides.
+FAMILY_ACCUM_DEFAULTS = {"stcn": 8, "wavenet": 2}
 
 
 def build_wavenet(bf16):
@@ -434,7 +436,7 @@ def main():
     parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
     parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
-    parser.add_argument("--accum", type=int, default=1, help="gradient-accumulation microbatches (exact weighted update)")
+    parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
@@ -442,7 +444,6 @@ def main():
 
     global REMAT, ACCUM
     REMAT = args.remat
-    ACCUM = args.accum
 
     try:  # persistent compile cache if the backend supports it (harmless if not)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -471,7 +472,7 @@ def main():
 
     headline_only = names == ["wavenet"]
     for name in names:
-        ACCUM = args.accum if args.accum != 1 else FAMILY_ACCUM_DEFAULTS.get(name, 1)
+        ACCUM = args.accum if args.accum is not None else FAMILY_ACCUM_DEFAULTS.get(name, 1)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
         result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)

@@ -36,10 +36,14 @@ ceiling. Without a TPU it prints the analytic model only.
 
 Round-3 conclusions recorded from this script on a v5e
 (`NOTES.md` round-3 section has the full table):
-  measured 54.9 ms/step = 2.33M samples/s;
-  compute floor 13.0 ms (23.6% nominal MFU; 42% counting forced lane padding),
-  minimal-traffic memory floor ~24 ms -> ~44% of the memory-bound ceiling;
-  every single-knob lever measured NEGATIVE on this chip:
+  measured 54.9 ms/step = 2.33M samples/s monolithic;
+  compute floor 12.8 ms (23.4% nominal MFU; 41.6% counting forced lane
+  padding), minimal-traffic memory floor 32.3 ms -> 58.8% of the memory-bound
+  ceiling. ONE positive lever was found after this analysis: gradient
+  accumulation (bench.py --accum; exact frames-weighted update) relieves the
+  residual capacity pressure -- accum=2 measured 46.2 ms = 2.77M samples/s
+  (69.8% of the memory floor), accum=4 47.5 ms (past the sweet spot).
+  Every other single-knob lever measured NEGATIVE on this chip:
     remat            61.8 ms  (recompute adds more traffic than it saves)
     res_channels=128 118.6 ms (temp alloc 9.2->12.1 GB, capacity-induced remat)
     B=16             173.4 ms (temp alloc 15.6 GB > HBM, heavy remat)
@@ -140,7 +144,8 @@ def analytic_model(B=8, T=16000, C=96, n_layers=10, n_stacks=5, kernel_size=2, b
 
 
 NEGATIVE_LEVERS = [
-    ("baseline (bench.py flagship, bf16)", 54.9, "2.33M samples/s, temp alloc 9.23 GB"),
+    ("baseline (bench.py flagship, bf16, monolithic)", 54.9, "2.33M samples/s, temp alloc 9.23 GB"),
+    ("gradient accumulation accum=2 (POSITIVE; bench default)", 46.2, "2.77M samples/s - capacity relief, same update"),
     ("remat residual blocks", 61.8, "recompute traffic exceeds saved-activation traffic"),
     ("res_channels 96->128 (MXU lane pad)", 118.6, "temp 12.05 GB; capacity-induced remat dominates"),
     ("batch 8->16", 173.4, "temp 15.62 GB > 16 GB HBM; heavy remat"),
