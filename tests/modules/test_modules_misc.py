@@ -148,3 +148,61 @@ class TestConvenience:
     def test_add_constant(self):
         y = AddConstant(constant=2.5).apply({}, jnp.zeros((3,)))
         np.testing.assert_allclose(np.asarray(y), 2.5)
+
+
+class TestFusedBidirectional:
+    """fuse_directions=True (default) must reproduce the two-scan path
+    exactly: same parameter tree, same outputs, same gradients."""
+
+    def _x(self, B=3, T=14, D=5):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        x_sl = jnp.array([T, T - 5, 1])
+        return x, x_sl
+
+    def test_same_params_and_outputs_as_two_scan_path(self):
+        x, x_sl = self._x()
+        fused = LSTMBlock(hidden_size=6, num_layers=2, dropout_prob=0.0, fuse_directions=True)
+        plain = LSTMBlock(hidden_size=6, num_layers=2, dropout_prob=0.0, fuse_directions=False)
+        v_fused = fused.init(jax.random.PRNGKey(0), x, x_sl)
+        v_plain = plain.init(jax.random.PRNGKey(0), x, x_sl)
+        assert jax.tree_util.tree_structure(v_fused) == jax.tree_util.tree_structure(v_plain)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), v_fused, v_plain
+        )
+        y_fused, _ = fused.apply(v_fused, x, x_sl)
+        y_plain, _ = plain.apply(v_plain, x, x_sl)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), rtol=1e-6, atol=1e-6)
+
+    def test_same_gradients(self):
+        x, x_sl = self._x()
+        fused = LSTMBlock(hidden_size=4, dropout_prob=0.0, fuse_directions=True)
+        plain = LSTMBlock(hidden_size=4, dropout_prob=0.0, fuse_directions=False)
+        v = fused.init(jax.random.PRNGKey(1), x, x_sl)
+
+        def loss(mod):
+            def f(params):
+                y, _ = mod.apply({"params": params}, x, x_sl)
+                return (y**2).sum()
+
+            return f
+
+        g_fused = jax.grad(loss(fused))(v["params"])
+        g_plain = jax.grad(loss(plain))(v["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            g_fused,
+            g_plain,
+        )
+
+    def test_padding_rows_zeroed_and_sum_mode(self):
+        x, x_sl = self._x()
+        mod = LSTMBlock(hidden_size=4, sum_directions=True, dropout_prob=0.0)
+        v = mod.init(jax.random.PRNGKey(2), x, x_sl)
+        y, _ = mod.apply(v, x, x_sl)
+        y = np.asarray(y)
+        assert y.shape == (3, 14, 4)
+        # outputs beyond each row's length are exactly zero (both directions)
+        for b, sl in enumerate(np.asarray(x_sl)):
+            assert np.all(y[b, sl:] == 0.0)
+            assert np.any(y[b, :sl] != 0.0)
