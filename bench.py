@@ -113,6 +113,7 @@ def _simple_loss(model, **kw):
 
 REMAT = False  # set by --remat: rematerialize residual blocks in the backward
 ACCUM = 1  # set by --accum: gradient-accumulation microbatches (exact frames-weighted update)
+ACCUM_UNROLL = False  # set by --accum_unroll: unrolled (scheduler-interleavable) microbatches
 
 # Capacity-bound steps run FASTER split into accumulated microbatches with
 # ONE frames-weighted optimizer update — the same math, measured equal loss:
@@ -292,6 +293,7 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
         # merge is exact); bench batches are equal-length so uniform would be
         # equivalent, but use the production weighting the drivers use
         loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if ACCUM > 1 else None,
+        accum_unroll=ACCUM_UNROLL,
     )
 
     # warmup / compile — two steps: the first call's output state carries mesh
@@ -436,14 +438,16 @@ def main():
     parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
     parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
+    parser.add_argument("--accum_unroll", action="store_true", help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains)")
     parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     args = parser.parse_args()
 
-    global REMAT, ACCUM
+    global REMAT, ACCUM, ACCUM_UNROLL
     REMAT = args.remat
+    ACCUM_UNROLL = args.accum_unroll
 
     try:  # persistent compile cache if the backend supports it (harmless if not)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")

@@ -29,6 +29,7 @@ def make_train_step(
     jit: bool = True,
     accum: int = 1,
     loss_weight: Optional[Callable] = None,
+    accum_unroll: bool = False,
 ):
     """Build a jitted sharded train step.
 
@@ -58,6 +59,17 @@ def make_train_step(
             1.28x faster for the same global batch, NOTES.md round 3). Not a
             reference feature (it has no memory-pressure escape at all —
             its OOM answer is "use a smaller batch_len").
+        accum_unroll: trace the ``accum`` microbatches as a Python-unrolled
+            loop instead of a ``lax.scan``. Bitwise-identical math (same
+            fold_in RNG indices, same weighted sum) but the independent
+            microbatch forward/backward chains land in ONE XLA graph with no
+            loop barrier between them, so the scheduler can interleave chain
+            A's HBM waits with chain B's compute — targets the serial-chain
+            latency the WaveNet roofline identifies (each (B, T, 96) op too
+            small to saturate HBM alone). Costs ``accum``× the scan form's
+            code size and keeps all chains' live temporaries concurrently, so
+            it trades back some of the capacity relief accumulation buys —
+            measure per model.
         loss_weight: ``loss_weight(microbatch, mets) -> scalar`` giving each
             microbatch's loss normalizer. Every audio model's loss is
             total_nats / total_frames, so the full-batch gradient is the
@@ -122,9 +134,17 @@ def make_train_step(
                 return (g_acc, w_acc + w, i + 1), (loss_i, mets_i, w)
 
             g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (g_sum, w_sum, _), (losses, mets_stacked, ws) = jax.lax.scan(
-                body, (g0, jnp.float32(0.0), jnp.int32(0)), micro
-            )
+            carry0 = (g0, jnp.float32(0.0), jnp.int32(0))
+            if accum_unroll:
+                carry, ys = carry0, []
+                for i in range(accum):
+                    mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+                    carry, y = body(carry, mb)
+                    ys.append(y)
+                (g_sum, w_sum, _) = carry
+                (losses, mets_stacked, ws) = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ys)
+            else:
+                (g_sum, w_sum, _), (losses, mets_stacked, ws) = jax.lax.scan(body, carry0, micro)
             grads = jax.tree_util.tree_map(lambda g: (g / w_sum).astype(g.dtype), g_sum)
 
             def merge(leaf):

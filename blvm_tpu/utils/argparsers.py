@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
         "frames-weighted full-batch gradient (exact), trading step latency for HBM "
         "footprint — the capacity escape for STCN-sized models (NOTES.md round 3)",
     )
+    train_group.add_argument(
+        "--accum_unroll",
+        type=str2bool,
+        default=False,
+        help="trace accumulation microbatches unrolled (no scan barrier) so XLA can "
+        "interleave the independent chains; same update bitwise (train_step.py)",
+    )
 
     optim_group = parser.add_argument_group("optimizer")
     optim_group.add_argument("--optimizer", type=str, default="Adam")

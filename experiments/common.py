@@ -313,6 +313,7 @@ def run_audio_training(
         # every audio model's loss is total_nats / total_frames, so microbatch
         # gradients merge exactly when weighted by frames (train_step.py)
         loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if accum_steps > 1 else None,
+        accum_unroll=bool(getattr(args, "accum_unroll", False)),
     )
     eval_step = make_eval_step(loss_fn, mesh=mesh)
 

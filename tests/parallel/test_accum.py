@@ -120,3 +120,24 @@ def test_accum_rejects_bad_config(wavenet_setup):
     step3 = make_train_step(loss_fn, donate=False, accum=3)
     with pytest.raises(ValueError, match="divisible"):
         step3(fresh_state(), batch, {})  # B=4 not divisible by 3
+
+
+def test_accum_unroll_bitwise_equals_scan(wavenet_setup):
+    """The unrolled-accum form is the same traced math as the scan form
+    (same fold_in indices, same weighted sums) — results must match to the
+    bit, including the stacked metric merge and the updated params."""
+    model, loss_fn, batch, fresh_state = wavenet_setup
+    scan = make_train_step(loss_fn, donate=False, accum=2, loss_weight=FRAMES_WEIGHT)
+    unrolled = make_train_step(loss_fn, donate=False, accum=2, loss_weight=FRAMES_WEIGHT, accum_unroll=True)
+    s_scan, m_scan = scan(fresh_state(), batch, {})
+    s_unr, m_unr = unrolled(fresh_state(), batch, {})
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=0),
+        m_unr,
+        m_scan,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+        s_unr.params,
+        s_scan.params,
+    )
