@@ -187,6 +187,12 @@ def run_audio_training(
             importance-weighted bound (e.g. CWVAE needs
             ``pad_strideable=True``).
     """
+    try:  # persistent compile cache: repeat driver runs skip the multi-minute
+        # first jit of the big models (harmless no-op if the backend refuses)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     # multi-host: join the cluster BEFORE touching devices; afterwards
     # jax.devices() spans all hosts and the mesh below is global. Every host
     # runs this same driver (SPMD single-program); host-side effects (JSONL,
