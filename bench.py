@@ -252,7 +252,15 @@ def scan_chain_time(loss_fn, state, batches, n_steps):
     """
     from blvm_tpu.parallel import make_train_step
 
-    raw_step = make_train_step(loss_fn, jit=False)
+    # same step configuration as the async-timed step (accumulation included)
+    # — the scan chain must re-measure the SAME program, not a monolithic one
+    raw_step = make_train_step(
+        loss_fn,
+        jit=False,
+        accum=ACCUM,
+        loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if ACCUM > 1 else None,
+        accum_unroll=ACCUM_UNROLL,
+    )
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[batches[i % len(batches)] for i in range(n_steps)])
 
     @jax.jit
@@ -449,11 +457,9 @@ def main():
     REMAT = args.remat
     ACCUM_UNROLL = args.accum_unroll
 
-    try:  # persistent compile cache if the backend supports it (harmless if not)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from blvm_tpu.utils.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     from blvm_tpu.parallel import make_mesh
 

@@ -60,8 +60,10 @@ def make_train_step(
             reference feature (it has no memory-pressure escape at all —
             its OOM answer is "use a smaller batch_len").
         accum_unroll: trace the ``accum`` microbatches as a Python-unrolled
-            loop instead of a ``lax.scan``. Bitwise-identical math (same
-            fold_in RNG indices, same weighted sum) but the independent
+            loop instead of a ``lax.scan``. Mathematically the same update
+            (same fold_in RNG indices, same weighted sum — float-tolerance
+            tested; XLA may reassociate across the two schedules, so exact
+            bit equality is not guaranteed) but the independent
             microbatch forward/backward chains land in ONE XLA graph with no
             loop barrier between them, so the scheduler can interleave chain
             A's HBM waits with chain B's compute — targets the serial-chain

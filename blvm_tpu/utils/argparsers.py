@@ -67,7 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
         type=str2bool,
         default=False,
         help="trace accumulation microbatches unrolled (no scan barrier) so XLA can "
-        "interleave the independent chains; same update bitwise (train_step.py)",
+        "interleave the independent chains; mathematically the same update "
+        "(float-tolerance tested, train_step.py)",
     )
 
     optim_group = parser.add_argument_group("optimizer")

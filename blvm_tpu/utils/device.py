@@ -39,3 +39,19 @@ def to_device_recursive(tree: Any, device=None, sharding=None):
 
 def default_backend() -> str:
     return jax.default_backend()
+
+
+def enable_persistent_compile_cache(
+    cache_dir: str = "/tmp/jax_compile_cache", min_compile_time_secs: float = 10.0
+) -> None:
+    """Opt into XLA's persistent compile cache (no-op if unsupported).
+
+    Repeat runs skip the multi-minute first jit of the big models. Shared by
+    bench.py and the experiment drivers so the cache location/threshold stay
+    in sync.
+    """
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_time_secs)
+    except Exception:
+        pass

@@ -51,6 +51,7 @@ from blvm_tpu.settings import LOGGER, RUNS_DIRECTORY
 from blvm_tpu.training import TrainState, get_optimizer, save_run
 from blvm_tpu.training.optim import get_lr_schedule
 from blvm_tpu.utils.audio import save_wav
+from blvm_tpu.utils.device import enable_persistent_compile_cache
 from blvm_tpu.utils.rand import set_seed
 
 
@@ -187,12 +188,7 @@ def run_audio_training(
             importance-weighted bound (e.g. CWVAE needs
             ``pad_strideable=True``).
     """
-    try:  # persistent compile cache: repeat driver runs skip the multi-minute
-        # first jit of the big models (harmless no-op if the backend refuses)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    enable_persistent_compile_cache()
     # multi-host: join the cluster BEFORE touching devices; afterwards
     # jax.devices() spans all hosts and the mesh below is global. Every host
     # runs this same driver (SPMD single-program); host-side effects (JSONL,

@@ -27,16 +27,15 @@ common_args=(
   --test_every "$TEST_EVERY"
   --seed 0 --num_workers 2
   --save_checkpoints true
-  --run_dir "$RUN_DIR"
 )
 
 echo "=== phase A: fresh run, $EPOCHS_A epochs"
-python experiments/experiment_wavenet_audio.py "${common_args[@]}" --epochs "$EPOCHS_A"
+python experiments/experiment_wavenet_audio.py "${common_args[@]}" --run_dir "$RUN_DIR" --epochs "$EPOCHS_A"
 
 echo "=== phase B: resume from the run dir, $EPOCHS_B more epochs"
 # --epochs is the ABSOLUTE target epoch (resume continues the numbering);
 # resumed metrics land in a sibling dir, mirroring the covered test shape
-python experiments/experiment_wavenet_audio.py "${common_args[@]/$RUN_DIR/$RUN_DIR-resumed}" \
+python experiments/experiment_wavenet_audio.py "${common_args[@]}" --run_dir "$RUN_DIR-resumed" \
   --epochs "$((EPOCHS_A + EPOCHS_B))" --resume "$RUN_DIR"
 
 echo "=== loss trajectory (train):"

@@ -124,8 +124,9 @@ def test_accum_rejects_bad_config(wavenet_setup):
 
 def test_accum_unroll_bitwise_equals_scan(wavenet_setup):
     """The unrolled-accum form is the same traced math as the scan form
-    (same fold_in indices, same weighted sums) — results must match to the
-    bit, including the stacked metric merge and the updated params."""
+    (same fold_in indices, same weighted sums) — results must match to float
+    tolerance (XLA may schedule/reassociate the two forms differently),
+    including the stacked metric merge and the updated params."""
     model, loss_fn, batch, fresh_state = wavenet_setup
     scan = make_train_step(loss_fn, donate=False, accum=2, loss_weight=FRAMES_WEIGHT)
     unrolled = make_train_step(loss_fn, donate=False, accum=2, loss_weight=FRAMES_WEIGHT, accum_unroll=True)
