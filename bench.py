@@ -391,6 +391,68 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     return result
 
 
+def bench_family_eval(name, builder, bf16, steps_a, steps_b):
+    """Eval-forward throughput: N forward passes embedded in ONE jitted scan.
+
+    Eval steps do not chain through a train state, so async-chain timing has
+    nothing forcing earlier steps when the last loss is fetched; the scan
+    chain (stacked batches, device_get of the full per-step loss vector)
+    forces every pass in a single dispatch — the same discipline that fixed
+    the fast-step train timings. Linearity is checked across two chain
+    lengths (two compiles; eval forwards compile quickly).
+    """
+    model, loss_fn, batches, samples_per_step, dtype = builder(bf16)
+
+    first = batches[0]
+    init_args = tuple(first[k] for k in ("x", "x_sl", "y", "y_sl") if k in first)
+    variables = jax.jit(lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, *init_args))(
+        jax.random.PRNGKey(0)
+    )
+    params = variables["params"]
+
+    def timed(n_steps):
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[batches[i % len(batches)] for i in range(n_steps)]
+        )
+
+        @jax.jit
+        def chain(params, stacked):
+            def body(carry, b):
+                loss, (mets, _) = loss_fn(params, jax.random.fold_in(jax.random.PRNGKey(0), carry), b, {})
+                return carry + 1, loss
+            _, losses = jax.lax.scan(body, jnp.int32(0), stacked)
+            return losses
+
+        losses = chain(params, stacked)  # compile + warm
+        jax.device_get(losses)
+        t0 = time.perf_counter()
+        losses = jax.device_get(chain(params, stacked))
+        dt = time.perf_counter() - t0
+        return dt / n_steps, float(losses[0]), float(losses[-1])
+
+    per_step_a, _, _ = timed(steps_a)
+    per_step_b, loss_first, loss_last = timed(steps_b)
+    linear = abs(per_step_a - per_step_b) <= 0.25 * max(per_step_a, per_step_b)
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+
+    samples_per_sec = samples_per_step / per_step_b
+    return {
+        "metric": f"{name}_eval_throughput_waveform_samples_per_sec"
+        if name != "ctc"
+        else "ctc_eval_throughput_frames_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s" if name != "ctc" else "frames/s",
+        "vs_baseline": round(samples_per_sec / BASELINE, 3),
+        "ms_per_step": round(per_step_b * 1e3, 3),
+        "device_kind": kind,
+        "dtype": dtype,
+        "timing_mode": "scan_chain",
+        "timing_linear": linear,
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
+    }
+
+
 def bench_generation(bf16, fast, n_frames):
     """WaveNet ancestral sampling throughput (flagship config, B=2 sequences).
 
@@ -448,6 +510,7 @@ def main():
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
     parser.add_argument("--accum_unroll", action="store_true", help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains)")
     parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
+    parser.add_argument("--eval", action="store_true", help="benchmark eval-forward throughput instead of train steps")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
@@ -485,7 +548,10 @@ def main():
         ACCUM = args.accum if args.accum is not None else FAMILY_ACCUM_DEFAULTS.get(name, 1)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
-        result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)
+        if args.eval:
+            result = bench_family_eval(name, FAMILIES[name], bf16, steps_a, steps_b)
+        else:
+            result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)
         print(json.dumps(result))
 
 

@@ -121,3 +121,29 @@ def test_scan_chain_time_helper_runs():
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0  # optimizing a convex quadratic: loss must fall
     assert int(state2.step) == 10  # warm chain + timed chain
+
+
+def test_bench_family_eval_runs():
+    """bench.bench_family_eval produces a sane JSON record from a builder."""
+    import bench
+
+    make_mesh(1)
+
+    def tiny_builder(bf16):
+        model = _Tiny()
+        batches = [
+            {"x": jnp.full((2, 8), float(i + 1), jnp.float32), "x_sl": jnp.full((2,), 8, jnp.int32)}
+            for i in range(2)
+        ]
+
+        def loss_fn(params, rng, batch, scalars):
+            loss, mets, _ = model.apply({"params": params}, batch["x"], batch["x_sl"])
+            return loss, (mets, None)
+
+        return model, loss_fn, batches, 2 * 8, "f32"
+
+    rec = bench.bench_family_eval("tiny", tiny_builder, bf16=False, steps_a=3, steps_b=6)
+    assert rec["metric"] == "tiny_eval_throughput_waveform_samples_per_sec"
+    assert rec["value"] > 0 and rec["ms_per_step"] > 0
+    assert np.isfinite(rec["loss_first"]) and np.isfinite(rec["loss_last"])
+    assert rec["timing_mode"] == "scan_chain"
