@@ -548,11 +548,19 @@ def main():
         ACCUM = args.accum if args.accum is not None else FAMILY_ACCUM_DEFAULTS.get(name, 1)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
-        if args.eval:
-            result = bench_family_eval(name, FAMILIES[name], bf16, steps_a, steps_b)
-        else:
-            result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)
+        try:
+            if args.eval:
+                result = bench_family_eval(name, FAMILIES[name], bf16, steps_a, steps_b)
+            else:
+                result = bench_family(name, FAMILIES[name], bf16, steps_a, steps_b, headline=headline_only)
+        except Exception as e:
+            if len(names) == 1:
+                raise  # single-family (incl. the driver's headline run): fail loudly
+            # multi-family sweep: report the failure as data and keep going so
+            # one family's OOM/compile failure can't hide the others' numbers
+            result = {"metric": f"{name}_benchmark_error", "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(result))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
