@@ -118,11 +118,15 @@ ACCUM_UNROLL = False  # set by --accum_unroll: unrolled (scheduler-interleavable
 # Capacity-bound steps run FASTER split into accumulated microbatches with
 # ONE frames-weighted optimizer update — the same math, measured equal loss:
 #   STCN (temp alloc 13 GB of 16 GB, spills): 170.9 -> 98.3 ms at accum=8
-#     (accum 2/4: 131/102 ms) = 1.30M samples/s;
-#   WaveNet flagship (9.2 GB temp): 54.5 -> 46.2 ms at accum=2 = 2.77M
-#     samples/s, 23.4% MFU (accum=4: 47.5 ms — past the sweet spot).
-# Production defaults per family; --accum overrides.
-FAMILY_ACCUM_DEFAULTS = {"stcn": 8, "wavenet": 2}
+#     (accum 2/4: 131/102 ms; UNROLLED accum 4/8: 112/120 ms — unrolling
+#     reintroduces the capacity pressure, scan stays the STCN default);
+#   WaveNet flagship (9.2 GB temp): 54.5 -> 46.2 ms at scan accum=2; the
+#     UNROLLED microbatch graph (no scan barrier, chains interleaved by the
+#     scheduler) then wins: accum 2/4/8 unrolled = 42.5/40.9/55.6 ms, so the
+#     production default is accum=4 unrolled = 3.13M samples/s, 26.5% MFU.
+# Production defaults per family; --accum / --accum_unroll override.
+FAMILY_ACCUM_DEFAULTS = {"stcn": 8, "wavenet": 4}
+FAMILY_UNROLL_DEFAULTS = {"wavenet": True}
 
 
 def build_wavenet(bf16):
@@ -132,7 +136,7 @@ def build_wavenet(bf16):
         n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS,
         bf16=bf16, remat=REMAT,
     )
-    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "")
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "") + ("+unroll" if (ACCUM_UNROLL and ACCUM > 1) else "")
     return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, dtype
 
 
@@ -175,7 +179,7 @@ def build_stcn(bf16):
 
     B, T = 8, 16000
     model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16, remat=REMAT)
-    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "")
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "") + ("+unroll" if (ACCUM_UNROLL and ACCUM > 1) else "")
     return model, _simple_loss(model), _audio_batches(B, T), B * T, dtype
 
 
@@ -508,7 +512,7 @@ def main():
     parser.add_argument("--f32", action="store_true", help="force float32 (default: production bf16/f32 mix)")
     parser.add_argument("--steps", type=int, default=None, help="override the longer timing step count")
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
-    parser.add_argument("--accum_unroll", action="store_true", help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains)")
+    parser.add_argument("--accum_unroll", action=argparse.BooleanOptionalAction, default=None, help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains); unset uses per-family production defaults")
     parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
     parser.add_argument("--eval", action="store_true", help="benchmark eval-forward throughput instead of train steps")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
@@ -518,7 +522,6 @@ def main():
 
     global REMAT, ACCUM, ACCUM_UNROLL
     REMAT = args.remat
-    ACCUM_UNROLL = args.accum_unroll
 
     from blvm_tpu.utils.device import enable_persistent_compile_cache
 
@@ -546,6 +549,7 @@ def main():
     headline_only = names == ["wavenet"]
     for name in names:
         ACCUM = args.accum if args.accum is not None else FAMILY_ACCUM_DEFAULTS.get(name, 1)
+        ACCUM_UNROLL = args.accum_unroll if args.accum_unroll is not None else FAMILY_UNROLL_DEFAULTS.get(name, False)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
         try:
