@@ -111,7 +111,12 @@ def build_audio_pipeline(args, n_devices: int):
 
     train_dataset = BaseDataset(source=dataset.train, modalities=modalities_train)
     if args.batch_len:
+        # reference CLI semantics (experiment_wavenet_audio.py:63): a float is
+        # SECONDS (x16000); an int (only reachable via set_defaults — argparse
+        # parses every numeric CLI value as float) is samples. Log the resolved
+        # budget: passing e.g. "128000" means 128000 SECONDS and will OOM.
         batch_len = 16000 * args.batch_len if isinstance(args.batch_len, float) else args.batch_len
+        LOGGER.info(f"train batch budget: {batch_len:,.0f} timesteps (batch_len={args.batch_len!r})")
         train_sampler = LengthTrainSampler(
             source=dataset.train,
             field=dataset.audio_length,

@@ -5,9 +5,9 @@
 # train further — proving checkpoint/restore and the full framework loop on
 # the chip, not just the bench microbenchmark.
 #
-# Dataset: any TIMIT-shaped CSV tree (see MIGRATION.md / the verify skill for
-# the 3-line fabrication recipe); the round-3 soak used 192 synthetic
-# harmonic clips of 16-24k samples.
+# Dataset: any TIMIT-shaped CSV tree. Fabricate the canonical one (192
+# synthetic harmonic clips of 16-24k samples) with:
+#   BLVM_TPU_DATA_ROOT=/tmp/soak_data python scripts/perf/make_soak_data.py
 #
 # Usage: BLVM_TPU_DATA_ROOT=/tmp/soak_data ./scripts/perf/soak_wavenet.sh /tmp/soak_run
 set -euo pipefail
@@ -16,7 +16,10 @@ EPOCHS_A="${EPOCHS_A:-30}"
 EPOCHS_B="${EPOCHS_B:-15}"   # additional epochs after resume
 # flagship by default; override for a tiny CPU smoke of the script itself
 N_STACKS="${N_STACKS:-5}"; N_LAYERS="${N_LAYERS:-10}"; RES_CH="${RES_CH:-96}"
-BATCH_LEN="${BATCH_LEN:-128000}"; SEG="${SEG:-16000}"; TEST_EVERY="${TEST_EVERY:-5}"
+# batch_len follows the reference CLI: a float is SECONDS (x16000), so 8.0 =
+# 128000 samples = the flagship B~8 x T=16000 budget. (Any numeric CLI value
+# parses as float — "128000" would mean 128000 seconds and OOM.)
+BATCH_LEN="${BATCH_LEN:-8.0}"; SEG="${SEG:-16000}"; TEST_EVERY="${TEST_EVERY:-5}"
 
 common_args=(
   --dataset timit
