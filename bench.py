@@ -64,7 +64,7 @@ DEFAULT_PEAK = 197e12  # assume v5e-class if unrecognized
 
 # -- flagship WaveNet config (benchmarks.txt canonical TIMIT WaveNet) ---------
 WN_LAYERS, WN_STACKS, WN_RES, WN_MIX, WN_BINS = 10, 5, 96, 10, 2**16
-WN_B, WN_T = 8, 16000
+WN_B, WN_T = 8, 16000  # WN_B overridable with --wn_batch (reference default budget is B=16)
 
 
 def wavenet_analytic_flops() -> tuple[float, float]:
@@ -514,14 +514,17 @@ def main():
     parser.add_argument("--remat", action="store_true", help="rematerialize WaveNet/STCN residual blocks in backward")
     parser.add_argument("--accum_unroll", action=argparse.BooleanOptionalAction, default=None, help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains); unset uses per-family production defaults")
     parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
+    parser.add_argument("--wn_batch", type=int, default=None, help="override the flagship WaveNet batch size (default 8; the reference driver's default batch budget is 16 s = B=16 at T=16000)")
     parser.add_argument("--eval", action="store_true", help="benchmark eval-forward throughput instead of train steps")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     args = parser.parse_args()
 
-    global REMAT, ACCUM, ACCUM_UNROLL
+    global REMAT, ACCUM, ACCUM_UNROLL, WN_B
     REMAT = args.remat
+    if args.wn_batch:
+        WN_B = args.wn_batch
 
     from blvm_tpu.utils.device import enable_persistent_compile_cache
 
