@@ -65,6 +65,7 @@ DEFAULT_PEAK = 197e12  # assume v5e-class if unrecognized
 # -- flagship WaveNet config (benchmarks.txt canonical TIMIT WaveNet) ---------
 WN_LAYERS, WN_STACKS, WN_RES, WN_MIX, WN_BINS = 10, 5, 96, 10, 2**16
 WN_B, WN_T = 8, 16000  # WN_B overridable with --wn_batch (reference default budget is B=16)
+WN_S = 1  # --wn_stack_frames: benchmarks.txt grid s in {1, 64, 256} (s>1 uses T=65536)
 
 
 def wavenet_analytic_flops() -> tuple[float, float]:
@@ -75,16 +76,21 @@ def wavenet_analytic_flops() -> tuple[float, float]:
     shrinking by its dilation; counting all 50 blocks at output length T is a
     strict LOWER bound on the forward cost. Train estimate = 3x forward
     (standard fwd:bwd = 1:2 for conv/matmul nets).
+
+    Frame stacking (``WN_S > 1``) runs the convs at T/s frames of s-sample
+    vectors: the causal conv reads s input channels, the PointwiseTransform
+    head widens to res*s, and the DMoL dense runs per *waveform* frame after
+    unstacking (``wavenet.py`` setup/forward).
     """
-    out_t = WN_B * WN_T  # output frames per step (skip_size == T)
+    conv_t = WN_B * WN_T // WN_S  # conv-stack frames per step (skip_size == T/s)
     gate = 2 * 2 * WN_RES * (2 * WN_RES)  # k=2 conv RES -> 2*RES
     rs = 2 * WN_RES * (2 * WN_RES)  # 1x1 conv RES -> RES+RES
     per_block = gate + rs
     blocks = WN_LAYERS * WN_STACKS * per_block
-    causal = 2 * 2 * 1 * WN_RES
-    head = 2 * WN_RES * WN_RES  # PointwiseTransform dense
-    lik = 2 * WN_RES * (3 * WN_MIX)  # DMoL parameter dense
-    fwd = out_t * (blocks + causal + head + lik)
+    causal = 2 * 2 * WN_S * WN_RES  # k=2 conv, s stacked input channels
+    head = 2 * WN_RES * (WN_RES * WN_S)  # PointwiseTransform dense res -> res*s
+    lik_per_frame = 2 * WN_RES * (3 * WN_MIX)  # DMoL parameter dense (per waveform frame)
+    fwd = conv_t * (blocks + causal + head) + WN_B * WN_T * lik_per_frame
     return float(fwd), float(3 * fwd)
 
 
@@ -134,9 +140,9 @@ def build_wavenet(bf16):
 
     model = WaveNet(
         n_layers=WN_LAYERS, n_stacks=WN_STACKS, res_channels=WN_RES, num_mix=WN_MIX, num_bins=WN_BINS,
-        bf16=bf16, remat=REMAT,
+        n_stack_frames=WN_S, bf16=bf16, remat=REMAT,
     )
-    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "") + ("+unroll" if (ACCUM_UNROLL and ACCUM > 1) else "")
+    dtype = ("bf16" if bf16 else "f32") + ("+remat" if REMAT else "") + (f"+accum{ACCUM}" if ACCUM > 1 else "") + ("+unroll" if (ACCUM_UNROLL and ACCUM > 1) else "") + (f"+s{WN_S}" if WN_S > 1 else "")
     return model, _simple_loss(model), _audio_batches(WN_B, WN_T), WN_B * WN_T, dtype
 
 
@@ -515,16 +521,19 @@ def main():
     parser.add_argument("--accum_unroll", action=argparse.BooleanOptionalAction, default=None, help="unroll the accumulation microbatches into one XLA graph (no scan barrier; lets the scheduler interleave the independent chains); unset uses per-family production defaults")
     parser.add_argument("--accum", type=int, default=None, help="gradient-accumulation microbatches (exact weighted update); 1 forces monolithic, unset uses per-family production defaults")
     parser.add_argument("--wn_batch", type=int, default=None, help="override the flagship WaveNet batch size (default 8; the reference driver's default batch budget is 16 s = B=16 at T=16000)")
+    parser.add_argument("--wn_stack_frames", type=int, default=None, help="frame-stacked WaveNet grid point (benchmarks.txt s in {64, 256}); s>1 switches to T=65536 segments (the round-2 measurement shape) and accum defaults to 1 (no capacity pressure at T/s conv frames)")
     parser.add_argument("--eval", action="store_true", help="benchmark eval-forward throughput instead of train steps")
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     args = parser.parse_args()
 
-    global REMAT, ACCUM, ACCUM_UNROLL, WN_B
+    global REMAT, ACCUM, ACCUM_UNROLL, WN_B, WN_T, WN_S
     REMAT = args.remat
     if args.wn_batch:
         WN_B = args.wn_batch
+    if args.wn_stack_frames and args.wn_stack_frames > 1:
+        WN_S, WN_T = args.wn_stack_frames, 65536
 
     from blvm_tpu.utils.device import enable_persistent_compile_cache
 
@@ -552,6 +561,8 @@ def main():
     headline_only = names == ["wavenet"]
     for name in names:
         ACCUM = args.accum if args.accum is not None else FAMILY_ACCUM_DEFAULTS.get(name, 1)
+        if name == "wavenet" and WN_S > 1 and args.accum is None:
+            ACCUM = 1  # s>1 runs at T/s conv frames: no capacity pressure to relieve
         ACCUM_UNROLL = args.accum_unroll if args.accum_unroll is not None else FAMILY_UNROLL_DEFAULTS.get(name, False)
         steps_b = args.steps or (100 if name == "wavenet" else 50)
         steps_a = max(5, steps_b // 5)
