@@ -147,3 +147,34 @@ def test_bench_family_eval_runs():
     assert rec["value"] > 0 and rec["ms_per_step"] > 0
     assert np.isfinite(rec["loss_first"]) and np.isfinite(rec["loss_last"])
     assert rec["timing_mode"] == "scan_chain"
+
+
+def test_wavenet_analytic_flops_stacking():
+    """The stacking-aware FLOP count must reduce to the s=1 formula and scale
+    the conv-stack work by 1/s while keeping the per-waveform-frame DMoL dense.
+    """
+    import bench
+
+    saved = bench.WN_B, bench.WN_T, bench.WN_S
+    try:
+        bench.WN_B, bench.WN_T, bench.WN_S = 8, 16000, 1
+        fwd1, train1 = bench.wavenet_analytic_flops()
+        assert train1 == 3 * fwd1
+        # s=1 closed form (the pre-grid formula)
+        res, mix = bench.WN_RES, bench.WN_MIX
+        blocks = bench.WN_LAYERS * bench.WN_STACKS * (2 * 2 * res * 2 * res + 2 * res * 2 * res)
+        expected = 8 * 16000 * (blocks + 4 * res + 2 * res * res + 2 * res * 3 * mix)
+        assert fwd1 == expected
+
+        # s=64: conv-stack terms drop by 64x, DMoL dense unchanged per frame
+        bench.WN_S = 64
+        fwd64, _ = bench.wavenet_analytic_flops()
+        lik = 8 * 16000 * 2 * res * 3 * mix
+        conv1, conv64 = fwd1 - lik, fwd64 - lik
+        # head widens to res*s and causal reads s channels, so conv64 is a bit
+        # more than conv1/64 x (blocks share), but far below the s=1 cost
+        assert conv64 < conv1
+        per_frame_s = (blocks + 2 * 2 * 64 * res + 2 * res * res * 64)
+        assert conv64 == (8 * 16000 // 64) * per_frame_s
+    finally:
+        bench.WN_B, bench.WN_T, bench.WN_S = saved
