@@ -179,8 +179,20 @@ class Tracker:
     def __call__(self, loader, source: Optional[str] = None, max_steps: Optional[int] = None):
         return self.steps(loader, source=source, max_steps=max_steps)
 
-    def steps(self, iterable: Iterable, source: Optional[str] = None, max_steps: Optional[int] = None):
-        """Iterate batches while counting steps and rate-limited printing."""
+    def steps(
+        self,
+        iterable: Iterable,
+        source: Optional[str] = None,
+        max_steps: Optional[int] = None,
+        before_unset=None,
+    ):
+        """Iterate batches while counting steps and rate-limited printing.
+
+        ``before_unset`` (no-arg callable) runs after the last batch but while
+        ``self.source`` is still set — the flush point for callers that defer
+        per-step metric fetches (``unset`` snapshots the source's metrics into
+        the epoch accumulators, so deferred updates must land before it).
+        """
         if source is None:
             dataset = getattr(iterable, "dataset", None)
             source = getattr(dataset, "source", None)
@@ -200,6 +212,8 @@ class Tracker:
             if self.step_within_epoch[self.source] >= self.debug_epoch_break_steps:
                 break
 
+        if before_unset is not None:
+            before_unset()
         self.unset()
 
     def increment_step(self):

@@ -30,6 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
     setup_group.add_argument("--run_dir", type=str, default=None, help="output directory (checkpoints, metrics.jsonl)")
     setup_group.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace dir (first epoch)")
     setup_group.add_argument(
+        "--metric_fetch_lag",
+        type=int,
+        default=8,
+        help="fetch step metrics K steps late so the per-step device_get never stalls "
+        "the TPU async-dispatch pipeline (0 = synchronous per-step fetch). Exact: "
+        "every step's metrics land before the epoch aggregate (running means are "
+        "order-independent); the rate-limited console line trails by <= K steps",
+    )
+    setup_group.add_argument(
         "--log_norms",
         type=str2bool,
         default=False,

@@ -163,6 +163,37 @@ def make_scalar_schedules(annealers: Dict[str, object]):
     return step_schedules
 
 
+class DeferredMetrics:
+    """Fetch step metrics ``lag`` steps late so the per-step ``device_get``
+    never stalls the TPU async-dispatch pipeline.
+
+    The reference's loop implicitly syncs once per step (``.item()`` on CUDA);
+    doing the same on TPU serializes dispatch — the host waits a full
+    step + round-trip before launching the next step, so host/dispatch latency
+    is added to every step instead of being hidden by the pipeline (measured
+    on the v5e relay: 105 ms/step driver vs 46 ms for the same program in
+    bench.py's async chain). Holding the metric pytrees on device and fetching
+    the step-``i-lag`` result while steps ``i-lag+1..i`` are in flight keeps
+    the device busy; exactness is untouched — every step's metrics are
+    consumed before the tracker's epoch snapshot (``flush`` runs inside
+    ``Tracker.steps(before_unset=...)``) and the running means are
+    order-independent exact weighted merges.
+    """
+
+    def __init__(self, fetch: Callable, consume: Callable, lag: int):
+        self.fetch, self.consume, self.lag = fetch, consume, max(0, lag)
+        self._pending = []
+
+    def push(self, mets) -> None:
+        self._pending.append(mets)
+        while len(self._pending) > self.lag:
+            self.consume(self.fetch(self._pending.pop(0)))
+
+    def flush(self) -> None:
+        while self._pending:
+            self.consume(self.fetch(self._pending.pop(0)))
+
+
 def run_audio_training(
     args,
     model,
@@ -363,19 +394,29 @@ def run_audio_training(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
+
     for epoch in tracker.epochs(args.epochs):
         # ------------------------------------------------------------- training
         last_norms = {}
-        for (x, x_sl), metadata in tracker.steps(pipeline.train_loader, source=dataset.train):
+
+        def consume_train_mets(mets_host):
+            nonlocal last_norms
+            if log_norms:
+                last_norms = {k: float(mets_host.pop(k)) for k in ("grad_norm", "param_norm")}
+            tracker.update(build_metrics(mets_host))
+
+        deferred = DeferredMetrics(fetch_mets, consume_train_mets, metric_fetch_lag)
+        for (x, x_sl), metadata in tracker.steps(
+            pipeline.train_loader, source=dataset.train, before_unset=deferred.flush
+        ):
             batch = make_device_batch(x, x_sl)
             scalars = schedules()
             state, mets = train_step(state, batch, scalars)
-            # the fetch below syncs on this step's result; the loader threads
-            # keep the next batch ready so the device restarts immediately
-            mets = fetch_mets(mets)
-            if log_norms:
-                last_norms = {k: float(mets.pop(k)) for k in ("grad_norm", "param_norm")}
-            tracker.update(build_metrics(mets))
+            # defer the host fetch: the loader threads keep the next batch
+            # ready and the dispatch pipeline keeps the device busy while the
+            # lag-old metrics are pulled
+            deferred.push(mets)
 
         # ------------------------------------------------------------------ eval
         extra = dict()
@@ -383,7 +424,14 @@ def run_audio_training(
             outputs = None
             scalars = {name: np.float32(a.value if a.value is not None else a.step()) for name, a in annealers.items()}
             for source_name, loader in pipeline.valid_test_loaders.items():
-                for (x, x_sl), metadata in tracker.steps(loader, source=source_name):
+                eval_deferred = DeferredMetrics(
+                    fetch_mets,
+                    lambda m, s=source_name: tracker.update(build_metrics(m), source=s),
+                    metric_fetch_lag,
+                )
+                for (x, x_sl), metadata in tracker.steps(
+                    loader, source=source_name, before_unset=eval_deferred.flush
+                ):
                     eval_key, sub = jax.random.split(eval_key)
                     if getattr(args, "split_eval", False) and state_carry_eval is not None:
                         # chunked split-eval; the callback may return the last
@@ -397,7 +445,9 @@ def run_audio_training(
                     else:
                         batch = make_device_batch(x, x_sl)
                         mets, outputs = eval_step(state.params, sub, batch, scalars)
-                        tracker.update(build_metrics(fetch_mets(mets)))
+                        # eval passes share no state, so the dispatch pipeline
+                        # can run several ahead while lag-old metrics are pulled
+                        eval_deferred.push(mets)
                     if eval_iw_samples > 0 and process_count == 1:
                         # the IW bound runs on the unchunked sequence in both
                         # eval modes: it is forward-only (no stored activations

@@ -429,3 +429,50 @@ class TestASRCTCDriver:
         assert "synthetic_test" in lines[0]
         assert "wer" in lines[0]["synthetic_test"]
         assert lines[0]["synthetic_test"]["wer"] >= 0.0  # unbounded above (insertions)
+
+
+class TestMetricFetchLag:
+    def test_deferred_fetch_is_exact(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--metric_fetch_lag defers the per-step device_get (dispatch-pipeline
+        friendly) without changing any logged metric: lag=0 and lag=3 runs
+        must produce identical metrics.jsonl values (timing fields excluded).
+        """
+        import importlib
+
+        records = {}
+        for lag in (0, 3):
+            run_dir = tmp_path / f"run_lag{lag}"
+            argv = [
+                "experiment_lstm_audio.py",
+                "--dataset", "synthetic",
+                "--epochs", "2",
+                "--test_every", "1",
+                "--batch_len", "1.0",
+                "--stack_size", "8",
+                "--hidden_size", "16",
+                "--num_mix", "2",
+                "--seed", "0",
+                "--num_workers", "0",
+                "--bucket_multiple", "512",
+                "--n_devices", "2",
+                "--run_dir", str(run_dir),
+                "--save_checkpoints", "false",
+                "--metric_fetch_lag", str(lag),
+            ]
+            monkeypatch.setattr(sys, "argv", argv)
+            driver = importlib.import_module("experiment_lstm_audio")
+            driver.main()
+            records[lag] = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+
+        timing_keys = {"epoch_duration", "process_cpu_percent", "host_iowait_percent", "steps_per_sec"}
+        assert len(records[0]) == len(records[3]) == 2
+        for rec0, rec3 in zip(records[0], records[3]):
+            assert rec0.keys() == rec3.keys()
+            for source, vals0 in rec0.items():
+                if not isinstance(vals0, dict):
+                    continue
+                vals3 = rec3[source]
+                for k, v0 in vals0.items():
+                    if k in timing_keys:
+                        continue
+                    assert vals3[k] == v0, f"{source}.{k}: lag0={v0} lag3={vals3[k]}"
