@@ -43,7 +43,7 @@ from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 from blvm_tpu.utils.rand import set_seed
 
-from common import default_run_dir
+from common import DeferredMetrics, default_run_dir
 
 
 class TransposeTD(Transform):
@@ -230,20 +230,36 @@ def main():
 
     eval_key = jax.random.PRNGKey(args.seed + 1)
     hyps, refs = [], []
+    # deferred per-step metric fetch (same dispatch-pipeline rationale as
+    # common.run_audio_training — the ~10 ms CTC step is hurt proportionally
+    # most by a synchronous per-step device round-trip)
+    metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
+
+    def consume_eval_mets(mets_host):
+        nonlocal hyps, refs
+        metrics, hyps, refs = model.build_metrics(mets_host)
+        tracker.update(metrics)
+
     for epoch in tracker.epochs(args.epochs):
-        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(train_loader, source=str(train_source)):
+        deferred = DeferredMetrics(
+            jax.device_get, lambda m: tracker.update(model.build_metrics(m)[0]), metric_fetch_lag
+        )
+        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
+            train_loader, source=str(train_source), before_unset=deferred.flush
+        ):
             batch = make_batch(x, x_sl, y, y_sl)
             state, mets = train_step(state, batch, {})
-            metrics, _, _ = model.build_metrics(jax.device_get(mets))
-            tracker.update(metrics)
+            deferred.push(mets)
 
         for source_name, loader in valid_test_loaders.items():
-            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(loader, source=source_name):
+            eval_deferred = DeferredMetrics(jax.device_get, consume_eval_mets, metric_fetch_lag)
+            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
+                loader, source=source_name, before_unset=eval_deferred.flush
+            ):
                 batch = make_batch(x, x_sl, y, y_sl)
                 eval_key, sub = jax.random.split(eval_key)
                 mets, outputs = eval_step(state.params, sub, batch, {})
-                metrics, hyps, refs = model.build_metrics(jax.device_get(mets))
-                tracker.update(metrics)
+                eval_deferred.push(mets)
 
         current_lr = lr(int(state.step)) if callable(lr) else lr
         tracker.log(learning_rate=float(current_lr))

@@ -43,7 +43,7 @@ from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 from blvm_tpu.utils.rand import set_seed
 
-from common import default_run_dir
+from common import DeferredMetrics, default_run_dir
 
 
 def build_args():
@@ -195,21 +195,32 @@ def main():
     )
     rep_key = jax.random.PRNGKey(args.seed + 2)
 
+    # deferred per-step metric fetch (same dispatch-pipeline rationale as
+    # common.run_audio_training)
+    metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
+
+    def consume_train_mets(mets_host):
+        tracker.update(model.build_metrics(mets_host)[0])
+
     for epoch in tracker.epochs(args.epochs):
-        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(train_loader, source=str(train_source)):
+        deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
+        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
+            train_loader, source=str(train_source), before_unset=deferred.flush
+        ):
             rep_key, sub = jax.random.split(rep_key)
             z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
             state, mets = train_step(state, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
-            metrics, _, _ = model.build_metrics(jax.device_get(mets))
-            tracker.update(metrics)
+            deferred.push(mets)
 
         for source_name, loader in valid_test_loaders.items():
-            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(loader, source=source_name):
+            eval_deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
+            for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
+                loader, source=source_name, before_unset=eval_deferred.flush
+            ):
                 rep_key, sub = jax.random.split(rep_key)
                 z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
                 mets = eval_step(state.params, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
-                metrics, hyps, refs = model.build_metrics(jax.device_get(mets))
-                tracker.update(metrics)
+                eval_deferred.push(mets)
 
         current_lr = lr(int(state.step)) if callable(lr) else lr
         tracker.log(learning_rate=float(current_lr))
