@@ -1,6 +1,10 @@
 from blvm_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    SEQ_AXIS,
     batch_sharding,
     get_mesh,
+    leaf_sharding,
     make_global_batch,
     make_mesh,
     maybe_initialize_distributed,

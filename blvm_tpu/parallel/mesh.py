@@ -23,6 +23,7 @@ _MESH: Optional[Mesh] = None
 _DISTRIBUTED_INITIALIZED = False
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
@@ -68,13 +69,20 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     axis_name: str = DATA_AXIS,
     model_axis_size: int = 1,
+    seq_axis_size: int = 1,
 ) -> Mesh:
     """Create (and remember) the process-wide mesh.
 
-    ``model_axis_size=1`` (default) gives the 1-D data-parallel mesh. A larger
-    value folds the devices into a 2-D ``(data, model)`` mesh for tensor
-    parallelism (see ``parallel/tensor_parallel.py``); batches stay sharded on
-    the data axis (replicated over model), parameters shard per the TP rules.
+    ``model_axis_size=1, seq_axis_size=1`` (default) gives the 1-D
+    data-parallel mesh. ``model_axis_size > 1`` folds the devices into a
+    ``(data, model)`` mesh for tensor parallelism (see
+    ``parallel/tensor_parallel.py``). ``seq_axis_size > 1`` adds a ``seq``
+    axis over which batches shard their TIME dimension (sequence/context
+    parallelism for the conv families — GSPMD inserts the dilated-conv halo
+    exchanges as small ``collective-permute``s over ICI, measured: zero
+    all-gathers on the WaveNet step). Axis order is ``(data, seq, model)``,
+    innermost last so TP collectives ride the fastest ICI loop; axes of
+    size 1 are dropped so existing 1-D/2-D call sites are unchanged.
     """
     global _MESH
     if devices is None:
@@ -82,12 +90,17 @@ def make_mesh(
         if n_devices is not None:
             devices = devices[:n_devices]
     devices = np.asarray(devices)
-    if model_axis_size > 1:
-        if devices.size % model_axis_size != 0:
-            raise ValueError(f"{devices.size} devices not divisible by model_axis_size={model_axis_size}")
-        _MESH = Mesh(devices.reshape(-1, model_axis_size), (axis_name, MODEL_AXIS))
-    else:
-        _MESH = Mesh(devices, (axis_name,))
+    model_axis_size = model_axis_size or 1
+    seq_axis_size = seq_axis_size or 1
+    if devices.size % (model_axis_size * seq_axis_size) != 0:
+        raise ValueError(
+            f"{devices.size} devices not divisible by seq_axis_size={seq_axis_size} "
+            f"x model_axis_size={model_axis_size}"
+        )
+    shape = [devices.size // (seq_axis_size * model_axis_size), seq_axis_size, model_axis_size]
+    names = [axis_name, SEQ_AXIS, MODEL_AXIS]
+    keep = [i for i, s in enumerate(shape) if s > 1 or i == 0]  # always keep the data axis
+    _MESH = Mesh(devices.reshape([shape[i] for i in keep]), tuple(names[i] for i in keep))
     return _MESH
 
 
@@ -111,22 +124,36 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def leaf_sharding(x, mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Per-leaf batch sharding: rank 0 replicated; the leading (batch) axis
+    shards over ``data``; when the mesh has a ``seq`` axis, rank >= 2 leaves
+    additionally shard their SECOND (time) axis over it — the time length must
+    divide evenly (callers pad; the bucketers' length multiples guarantee it
+    when ``bucket_multiple`` is a multiple of the seq axis size)."""
+    if x.ndim == 0:
+        return replicated_sharding(mesh)
+    if x.ndim >= 2 and SEQ_AXIS in mesh.axis_names and mesh.shape[SEQ_AXIS] > 1:
+        if x.shape[1] % mesh.shape[SEQ_AXIS] != 0:
+            raise ValueError(
+                f"time axis ({x.shape[1]}) not divisible by the seq mesh axis ({mesh.shape[SEQ_AXIS]})"
+            )
+        return NamedSharding(mesh, P(axis_name, SEQ_AXIS))
+    return batch_sharding(mesh, axis_name)
+
+
 def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
-    """Device-put a host batch pytree with batch-axis sharding.
+    """Device-put a host batch pytree with batch-axis (and, on a seq mesh,
+    time-axis) sharding.
 
     Scalars and rank-0 leaves are replicated. The batch size must be divisible
     by the mesh size — the batchers' ``batch_size_bucket`` guarantees this when
     set to a multiple of the mesh size.
     """
     mesh = mesh or get_mesh()
-    data_sharding = batch_sharding(mesh, axis_name)
-    repl = replicated_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, repl)
-        return jax.device_put(x, data_sharding)
+        return jax.device_put(x, leaf_sharding(x, mesh, axis_name))
 
     return jax.tree_util.tree_map(put, batch)
 
@@ -144,13 +171,10 @@ def make_global_batch(local_batch, mesh: Optional[Mesh] = None, axis_name: str =
     host.
     """
     mesh = mesh or get_mesh()
-    data_sharding = batch_sharding(mesh, axis_name)
-    repl = replicated_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
-        sharding = repl if x.ndim == 0 else data_sharding
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(leaf_sharding(x, mesh, axis_name), x)
 
     return jax.tree_util.tree_map(put, local_batch)
 

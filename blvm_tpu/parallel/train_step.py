@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from blvm_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from blvm_tpu.parallel.mesh import SEQ_AXIS, batch_sharding, get_mesh, replicated_sharding
 from blvm_tpu.training.train_state import TrainState
 
 
@@ -94,7 +94,10 @@ def make_train_step(
 
     mesh = mesh or get_mesh()
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    # on a sequence-parallel mesh the batch leaves carry per-rank shardings
+    # (time axis over "seq", mesh.leaf_sharding) — inherit the placement
+    # shard_batch chose instead of forcing the rank-agnostic P("data")
+    data = None if SEQ_AXIS in mesh.axis_names else batch_sharding(mesh)
 
     if accum < 1:
         raise ValueError(f"accum must be >= 1, got {accum}")
@@ -181,7 +184,7 @@ def make_eval_step(loss_fn: Callable, mesh=None, return_outputs: bool = True):
     """Build a jitted sharded eval step: ``step(params, rng, batch, scalars)``."""
     mesh = mesh or get_mesh()
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = None if SEQ_AXIS in mesh.axis_names else batch_sharding(mesh)
 
     def step(params, rng, batch, scalars):
         loss, (mets, outputs) = loss_fn(params, rng, batch, scalars)

@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="tensor-parallel mesh axis size (2-D (data, model) mesh; model-specific partition rules required)",
     )
     mesh_group.add_argument(
+        "--seq_axis_size",
+        type=int,
+        default=1,
+        help="sequence-parallel mesh axis size: batches shard their TIME axis over it "
+        "(conv families only — WaveNet/STCN; GSPMD inserts dilated-conv halo exchanges "
+        "over ICI). Scales max trainable sequence length beyond one chip's HBM",
+    )
+    mesh_group.add_argument(
         "--dist_coordinator",
         type=str,
         default=None,

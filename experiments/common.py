@@ -206,6 +206,7 @@ def run_audio_training(
     post_eval_hook: Optional[Callable] = None,
     tp_rules=None,
     iw_kwargs: Optional[Dict] = None,
+    seq_parallel_ok: bool = False,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -240,7 +241,16 @@ def run_audio_training(
     model_axis_size = getattr(args, "model_axis_size", 1) or 1
     if model_axis_size > 1 and tp_rules is None:
         raise ValueError("--model_axis_size > 1 requires this experiment to provide tensor-parallel rules")
-    mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size)
+    seq_axis_size = getattr(args, "seq_axis_size", 1) or 1
+    if seq_axis_size > 1 and not seq_parallel_ok:
+        # recurrent scan cores consume time sequentially — sharding T would
+        # just make GSPMD gather it back every scan step. Conv families
+        # (WaveNet/STCN) opt in.
+        raise ValueError("--seq_axis_size > 1 is only supported by the conv experiments (WaveNet, STCN)")
+    if seq_axis_size > 1 and getattr(args, "split_eval", False) and state_carry_eval is not None:
+        LOGGER.warning("sequence parallelism: --split_eval unsupported, falling back to whole-sequence eval")
+        state_carry_eval = None
+    mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size, seq_axis_size=seq_axis_size)
     # batches shard over the data axis only; pad the batch to its size
     n_devices = mesh.shape[DATA_AXIS]
     # gradient accumulation: train batches must also split into accum_steps

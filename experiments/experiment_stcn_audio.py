@@ -91,7 +91,7 @@ def run(args):
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
-        tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval,
+        tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval, seq_parallel_ok=True,
     )
 
 

@@ -95,7 +95,7 @@ def main():
     run_audio_training(
         args, model, pipeline, loss_fn, script_name="wavenet_audio",
         state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
-        tp_rules=WAVENET_TP_RULES,
+        tp_rules=WAVENET_TP_RULES, seq_parallel_ok=True,
     )
 
 

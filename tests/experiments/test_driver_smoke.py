@@ -294,6 +294,53 @@ class TestWaveNetDriver:
         assert np.isfinite(lines[0]["synthetic_train"]["loss"])
         assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
 
+    def test_sequence_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--seq_axis_size 2 trains over a (data=2, seq=2) mesh — the time
+        axis shards and GSPMD halo-exchanges the dilated convs."""
+        run_dir = tmp_path / "run_wavenet_sp"
+        argv = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "2",
+            "--n_stacks", "1",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--seq_axis_size", "2",
+            "--run_dir", str(run_dir),
+            "--save_checkpoints", "false",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_train"]["loss"])
+        assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
+
+    def test_sequence_parallel_rejected_for_recurrent(self, synthetic_dataset, tmp_path, monkeypatch):
+        """Recurrent families reject --seq_axis_size with a clear error."""
+        argv = [
+            "experiment_vrnn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--batch_len", "1.0",
+            "--seq_axis_size", "2",
+            "--n_devices", "4",
+            "--num_workers", "0",
+            "--run_dir", str(tmp_path / "run_vrnn_sp"),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_vrnn_audio")
+        with pytest.raises(ValueError, match="seq_axis_size"):
+            driver.main()
+
 
 class TestClockworkDriver:
     def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):
