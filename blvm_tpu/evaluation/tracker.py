@@ -204,17 +204,21 @@ class Tracker:
 
         self.set(source, max_steps=max_steps)
 
-        for batch in iterable:
-            yield batch
-            self.increment_step()
-            if self.do_print():
-                self.print()
-            if self.step_within_epoch[self.source] >= self.debug_epoch_break_steps:
-                break
-
-        if before_unset is not None:
-            before_unset()
-        self.unset()
+        try:
+            for batch in iterable:
+                yield batch
+                self.increment_step()
+                if self.do_print():
+                    self.print()
+                if self.step_within_epoch[self.source] >= self.debug_epoch_break_steps:
+                    break
+        finally:
+            # also runs when the CONSUMER breaks out (generator close) or the
+            # loop body raises — deferred metrics must not be silently dropped
+            # and the source must not stay set
+            if before_unset is not None:
+                before_unset()
+            self.unset()
 
     def increment_step(self):
         self.step_within_epoch[self.source] += 1

@@ -124,15 +124,28 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def leaf_sharding(x, mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+# batch-dict keys whose SECOND axis is time and may shard over the seq mesh
+# axis. Only these leaves seq-shard: other rank>=2 leaves (e.g. an ASR label
+# matrix (B, text_len)) have a non-time second axis that must never silently
+# land on the seq axis just because its length happens to divide.
+SEQ_SHARDED_KEYS = ("x",)
+
+
+def _seq_size(mesh: Mesh) -> int:
+    return mesh.shape[SEQ_AXIS] if SEQ_AXIS in mesh.axis_names else 1
+
+
+def leaf_sharding(x, mesh: Mesh, axis_name: str = DATA_AXIS, seq: bool = True) -> NamedSharding:
     """Per-leaf batch sharding: rank 0 replicated; the leading (batch) axis
-    shards over ``data``; when the mesh has a ``seq`` axis, rank >= 2 leaves
-    additionally shard their SECOND (time) axis over it — the time length must
-    divide evenly (callers pad; the bucketers' length multiples guarantee it
-    when ``bucket_multiple`` is a multiple of the seq axis size)."""
+    shards over ``data``; when the mesh has a ``seq`` axis and ``seq=True``
+    (the leaf is a (batch, time, ...) tensor — see ``SEQ_SHARDED_KEYS``),
+    rank >= 2 leaves additionally shard their SECOND (time) axis over it — the
+    time length must divide evenly (callers pad; the bucketers' length
+    multiples guarantee it when ``bucket_multiple`` is a multiple of the seq
+    axis size — ``run_audio_training`` validates this upfront)."""
     if x.ndim == 0:
         return replicated_sharding(mesh)
-    if x.ndim >= 2 and SEQ_AXIS in mesh.axis_names and mesh.shape[SEQ_AXIS] > 1:
+    if seq and x.ndim >= 2 and _seq_size(mesh) > 1:
         if x.shape[1] % mesh.shape[SEQ_AXIS] != 0:
             raise ValueError(
                 f"time axis ({x.shape[1]}) not divisible by the seq mesh axis ({mesh.shape[SEQ_AXIS]})"
@@ -141,21 +154,30 @@ def leaf_sharding(x, mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return batch_sharding(mesh, axis_name)
 
 
-def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
+def batch_shardings(batch, mesh: Mesh, axis_name: str = DATA_AXIS, seq_keys=SEQ_SHARDED_KEYS):
+    """Pytree of per-leaf ``NamedSharding``s for a batch. On a seq mesh only
+    leaves under the top-level keys in ``seq_keys`` shard their time axis;
+    works on shaped tracers too (uses only ``ndim``/``shape``)."""
+
+    def spec_for(path, x):
+        key0 = getattr(path[0], "key", None) if path else None
+        return leaf_sharding(x, mesh, axis_name, seq=key0 in seq_keys)
+
+    return jax.tree_util.tree_map_with_path(spec_for, batch)
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS, seq_keys=SEQ_SHARDED_KEYS):
     """Device-put a host batch pytree with batch-axis (and, on a seq mesh,
-    time-axis) sharding.
+    time-axis for the ``seq_keys`` leaves) sharding.
 
     Scalars and rank-0 leaves are replicated. The batch size must be divisible
     by the mesh size — the batchers' ``batch_size_bucket`` guarantees this when
     set to a multiple of the mesh size.
     """
     mesh = mesh or get_mesh()
-
-    def put(x):
-        x = np.asarray(x)
-        return jax.device_put(x, leaf_sharding(x, mesh, axis_name))
-
-    return jax.tree_util.tree_map(put, batch)
+    batch = jax.tree_util.tree_map(np.asarray, batch)
+    shardings = batch_shardings(batch, mesh, axis_name, seq_keys)
+    return jax.tree_util.tree_map(jax.device_put, batch, shardings)
 
 
 def make_global_batch(local_batch, mesh: Optional[Mesh] = None, axis_name: str = DATA_AXIS):
@@ -171,12 +193,11 @@ def make_global_batch(local_batch, mesh: Optional[Mesh] = None, axis_name: str =
     host.
     """
     mesh = mesh or get_mesh()
-
-    def put(x):
-        x = np.asarray(x)
-        return jax.make_array_from_process_local_data(leaf_sharding(x, mesh, axis_name), x)
-
-    return jax.tree_util.tree_map(put, local_batch)
+    local_batch = jax.tree_util.tree_map(np.asarray, local_batch)
+    shardings = batch_shardings(local_batch, mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.make_array_from_process_local_data(s, x), local_batch, shardings
+    )
 
 
 def shard_examples_by_process(examples, process_index: Optional[int] = None, process_count: Optional[int] = None):

@@ -16,7 +16,22 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from blvm_tpu.parallel.mesh import SEQ_AXIS, batch_sharding, get_mesh, replicated_sharding
+from blvm_tpu.parallel.mesh import SEQ_AXIS, batch_sharding, batch_shardings, get_mesh, replicated_sharding
+
+
+def _constrain_batch(batch, mesh):
+    """Pin the batch's per-leaf shardings inside the traced step.
+
+    On a 1-D/2-D mesh the jit's ``in_shardings`` force P('data') directly; a
+    seq mesh needs RANK-AWARE placement (time axis over 'seq' for the x leaf,
+    batch-only for the rest), which ``in_shardings`` cannot express for a
+    dynamic pytree — so the step inherits the argument placement and this
+    constraint re-pins it at trace time. A host/numpy batch passed without
+    ``shard_batch`` is therefore still placed correctly instead of silently
+    replicated (which would re-introduce the single-chip memory ceiling the
+    seq axis exists to remove)."""
+    shardings = batch_shardings(batch, mesh)
+    return jax.tree_util.tree_map(jax.lax.with_sharding_constraint, batch, shardings)
 from blvm_tpu.training.train_state import TrainState
 
 
@@ -94,10 +109,8 @@ def make_train_step(
 
     mesh = mesh or get_mesh()
     repl = replicated_sharding(mesh)
-    # on a sequence-parallel mesh the batch leaves carry per-rank shardings
-    # (time axis over "seq", mesh.leaf_sharding) — inherit the placement
-    # shard_batch chose instead of forcing the rank-agnostic P("data")
-    data = None if SEQ_AXIS in mesh.axis_names else batch_sharding(mesh)
+    has_seq = SEQ_AXIS in mesh.axis_names
+    data = None if has_seq else batch_sharding(mesh)
 
     if accum < 1:
         raise ValueError(f"accum must be >= 1, got {accum}")
@@ -105,6 +118,8 @@ def make_train_step(
         raise ValueError("accum > 1 cannot return outputs (use the eval step for generation logging)")
 
     def step(state: TrainState, batch, scalars):
+        if has_seq:
+            batch = _constrain_batch(batch, mesh)
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if accum == 1:
@@ -184,9 +199,12 @@ def make_eval_step(loss_fn: Callable, mesh=None, return_outputs: bool = True):
     """Build a jitted sharded eval step: ``step(params, rng, batch, scalars)``."""
     mesh = mesh or get_mesh()
     repl = replicated_sharding(mesh)
-    data = None if SEQ_AXIS in mesh.axis_names else batch_sharding(mesh)
+    has_seq = SEQ_AXIS in mesh.axis_names
+    data = None if has_seq else batch_sharding(mesh)
 
     def step(params, rng, batch, scalars):
+        if has_seq:
+            batch = _constrain_batch(batch, mesh)
         loss, (mets, outputs) = loss_fn(params, rng, batch, scalars)
         if return_outputs:
             return mets, outputs

@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="fetch step metrics K steps late so the per-step device_get never stalls "
         "the TPU async-dispatch pipeline (0 = synchronous per-step fetch). Exact: "
         "every step's metrics land before the epoch aggregate (running means are "
-        "order-independent); the rate-limited console line trails by <= K steps",
+        "order-independent); the rate-limited console line trails by <= K steps. "
+        "When debugging a failing step, set 0 — with a lag, a device error "
+        "materializes up to K steps after the batch that caused it",
     )
     setup_group.add_argument(
         "--log_norms",

@@ -250,6 +250,17 @@ def run_audio_training(
     if seq_axis_size > 1 and getattr(args, "split_eval", False) and state_carry_eval is not None:
         LOGGER.warning("sequence parallelism: --split_eval unsupported, falling back to whole-sequence eval")
         state_carry_eval = None
+    if seq_axis_size > 1:
+        # fail BEFORE dataset scan + compile: every batch's time length is a
+        # multiple of the bucket length (and of the segment size when set), so
+        # these divisibility checks are exactly the leaf_sharding invariant
+        for flag in ("bucket_multiple", "random_segment_size"):
+            val = getattr(args, flag, None)
+            if val and int(val) % seq_axis_size != 0:
+                raise ValueError(
+                    f"--{flag} ({val}) must be divisible by --seq_axis_size ({seq_axis_size}) "
+                    "so batch time lengths split evenly over the seq mesh axis"
+                )
     mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size, seq_axis_size=seq_axis_size)
     # batches shard over the data axis only; pad the batch to its size
     n_devices = mesh.shape[DATA_AXIS]

@@ -165,6 +165,8 @@ def main():
             valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
         )
 
+    if (getattr(args, "seq_axis_size", 1) or 1) > 1:
+        raise ValueError("--seq_axis_size > 1 is only supported by the conv experiments (WaveNet, STCN)")
     mesh = make_mesh(args.n_devices)
     n_devices = mesh.devices.size
 

@@ -79,6 +79,8 @@ def build_args():
 
 def main():
     args = build_args()
+    if (getattr(args, "seq_axis_size", 1) or 1) > 1:
+        raise ValueError("--seq_axis_size > 1 is only supported by the conv experiments (WaveNet, STCN)")
     run_dir = default_run_dir(args, "asr_ctc_resampling")
     root_key = set_seed(args.seed)
 

@@ -146,6 +146,30 @@ class TestTracker:
         assert accs["test"]["loss"] == [3.0, 2.0, 1.0]
         assert tracker.best_values["test"]["best_loss"] == 1.0
 
+    def test_before_unset_runs_on_consumer_break(self, capsys):
+        """before_unset (the deferred-metric flush point) must run even when
+        the CONSUMER breaks out of the steps() loop — otherwise up to lag
+        steps of metrics would silently vanish from the epoch aggregate."""
+        tracker = Tracker(print_every=None)
+        flushed = []
+        for epoch in tracker.epochs(1):
+            for i, v in enumerate(tracker.steps([1.0, 2.0, 3.0], source="train", before_unset=lambda: flushed.append(True))):
+                tracker.update([LossMetric(v)])
+                if i == 1:
+                    break
+        assert flushed == [True]
+        assert tracker.source is None  # unset also ran
+
+    def test_before_unset_runs_on_exception(self, capsys):
+        tracker = Tracker(print_every=None)
+        flushed = []
+        tracker.epoch = 1
+        with pytest.raises(RuntimeError):
+            for v in tracker.steps([1.0, 2.0], source="train", before_unset=lambda: flushed.append(True)):
+                raise RuntimeError("boom")
+        assert flushed == [True]
+        assert tracker.source is None
+
     def test_jsonl_sink(self, tmp_path, capsys):
         import json
 

@@ -80,6 +80,44 @@ class TestMeshAndSharding:
         mesh = make_mesh(8)
         assert leaf_sharding(np.zeros((8, 64)), mesh).spec == P("data")
 
+    def test_only_time_leaves_seq_shard(self):
+        """Only SEQ_SHARDED_KEYS leaves ('x') shard their second axis: a
+        rank-2 label matrix y (batch, text_len) must stay batch-only even
+        when its length happens to divide the seq axis."""
+        from blvm_tpu.parallel.mesh import batch_shardings
+
+        mesh = make_mesh(8, seq_axis_size=4)
+        batch = {"x": np.zeros((8, 64)), "x_sl": np.zeros((8,)), "y": np.zeros((8, 16)), "y_sl": np.zeros((8,))}
+        sh = batch_shardings(batch, mesh)
+        assert sh["x"].spec == P("data", "seq")
+        assert sh["y"].spec == P("data")
+        assert sh["x_sl"].spec == P("data")
+
+    def test_numpy_batch_still_sharded_by_step(self):
+        """A host/numpy batch passed WITHOUT shard_batch to a seq-mesh train
+        step is still placed correctly (in-jit sharding constraint), not
+        silently replicated."""
+        model = WaveNet(n_layers=2, n_stacks=1, res_channels=16, num_mix=2)
+        B, T = 4, 256
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.full((B,), T, jnp.int32)
+        loss_fn = make_loss_fn(model)
+
+        mesh1 = make_mesh(1)
+        state1 = make_state(model, x, x_sl)
+        new1, mets1 = make_train_step(loss_fn, mesh=mesh1, donate=False)(
+            state1, {"x": x, "x_sl": x_sl}, {}
+        )
+
+        mesh = make_mesh(8, seq_axis_size=4)
+        state = make_state(model, x, x_sl)
+        step = make_train_step(loss_fn, mesh=mesh, donate=False)
+        new8, mets8 = step(state, {"x": np.asarray(x), "x_sl": np.asarray(x_sl)}, {})
+        np.testing.assert_allclose(float(mets1["loss"]), float(mets8["loss"]), rtol=1e-5)
+        # the compiled step really placed x over (data, seq)
+        hlo = step.lower(state, {"x": np.asarray(x), "x_sl": np.asarray(x_sl)}, {}).compile().as_text()
+        assert "all-gather" not in hlo
+
 
 class TestSPTrainStepEquivalence:
     def _run_pair(self, model, rules, B, T, sp_kwargs, atol=2e-5):
