@@ -357,6 +357,102 @@ class STCN(BaseModel):
         )
         return loss, mets, outputs
 
+    def generate(
+        self,
+        n_samples: int = 1,
+        max_timesteps: int = 100,
+        use_mode_observations: bool = False,
+        x: Optional[jnp.ndarray] = None,
+    ):
+        """Ancestral sampling — capability ADDED over the reference, whose
+        ``STCN.generate`` raises ``NotImplementedError`` (``stcn.py:435-442``).
+
+        Per emitted stack-frame column: a receptive-field window forward
+        through the encoder stack (FIFO window, one ``lax.scan`` over columns
+        — the WaveNet naive-oracle pattern, cheap here because the STCN rf is
+        ~150 frames vs WaveNet's ~5k), top-down PRIOR-only latent sampling
+        (same head wiring as ``infer`` with the posterior branch dropped), an
+        ``out_rf``-window decode through the dense stack, and a likelihood
+        sample (or mode) that becomes the next input column.
+
+        Args mirror the reference stub's signature. ``x`` (B, T) optionally
+        primes the window with real audio (zeros otherwise — matching the
+        forward's receptive-field zero padding). Returns
+        ``((x, x_sl), outputs)`` like the other generating families.
+        """
+        s = self.n_stack_frames
+        rf = self.receptive_field
+        n = self._n_latents
+        dtype = jnp.bfloat16 if self.bf16 else None
+
+        if x is None:
+            window = jnp.zeros((n_samples, rf, s), jnp.float32)
+        else:
+            if x.shape[0] == 1 and n_samples > 1:
+                x = jnp.repeat(x, n_samples, axis=0)
+            if s > 1:
+                x, _ = stack_tensor(x, s, axis=1)
+            if x.ndim == 2:
+                x = x[..., None]
+            pad = max(0, rf - x.shape[1])
+            window = jnp.pad(x[:, -rf:], ((0, 0), (pad, 0), (0, 0)))
+        B = window.shape[0]
+
+        # the encoder only needs the skips that feed latents (same dead-skip
+        # mask as the training forward)
+        n_blocks = self.n_layers * self._n_stacks
+        used = set(list(range(n - 1, n_blocks, n))[:n])
+        skip_mask = [i in used for i in range(n_blocks)]
+        order = list(reversed(range(n))) if self.top_down else list(range(n))
+
+        z_window0 = jnp.zeros((B, self._out_rf, sum(self.latent_size)), jnp.float32)
+        key = self.make_rng("sample")
+
+        def step(carry, step_key):
+            window, z_window = carry
+            k_z, k_x = jax.random.split(step_key)
+
+            # ---- encoder window -> one conditioning column per latent level
+            out = self.causal(window, pad_causal=False)
+            skips = self.res_stack(out, skip_size=1, skip_mask=skip_mask)
+            d = skips[n - 1 :: n][:n]  # (B, 1, C) each — the d_p column at t
+
+            # ---- top-down prior sampling (infer's prior branch only)
+            z = [None] * n
+            for i, l in enumerate(order):
+                if i == 0:
+                    in_p = d[l]
+                else:
+                    l_cond = l + 1 if self.top_down else l - 1
+                    in_p = jnp.concatenate([d[l], z[l_cond].astype(d[l].dtype)], axis=-1)
+                mu_p, sd_p = self.priors[l](in_p)
+                z[l] = rsample_gaussian(jax.random.fold_in(k_z, l), mu_p, sd_p)
+            z_col = jnp.concatenate(z, axis=-1) if self.dense else z[0]  # (B, 1, Ztot)
+            z_window = jnp.concatenate([z_window[:, 1:], z_col], axis=1)
+
+            # ---- decode the out_rf z-window to one likelihood column
+            z_dec = z_window.astype(dtype) if self.bf16 else z_window
+            skip_logits = self.out_transform(z_dec, skip_size=1)
+            logits = sum(at_least_f32(sl) for sl in skip_logits) * self.inv_std
+            logits = self.out_upsample(logits)  # (B, 1, D*s)
+            if s > 1:
+                D = self._likelihood_out_features()
+                logits = logits.reshape(B, s, D)
+            params = self.likelihood_module(logits)
+            if use_mode_observations:
+                pred = self.likelihood_module.mode(params)  # (B, s)
+            else:
+                pred = self.likelihood_module.rsample(k_x, params)
+            new_col = pred.reshape(B, 1, s)
+            window = jnp.concatenate([window[:, 1:], new_col], axis=1)
+            return (window, z_window), pred
+
+        n_steps = max(1, max_timesteps // s) if s > 1 else max_timesteps
+        _, preds = jax.lax.scan(step, (window, z_window0), jax.random.split(key, n_steps))
+        x_out = jnp.moveaxis(preds, 0, 1).reshape(B, -1)  # (B, n_steps*s)
+        x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)
+        return (x_out, x_sl), SimpleNamespace()
+
     def build_metrics(self, mets: dict):
         """Per-layer KL decomposition in nats/bpz/bpx (reference ``stcn.py:222-254``)."""
         loss, elbo, log_prob, kld, klds, x_sl = (

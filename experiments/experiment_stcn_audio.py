@@ -9,7 +9,7 @@ from blvm_tpu.training import CosineAnnealer
 from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 
-from common import build_audio_pipeline, make_rf_chunked_eval, run_audio_training
+from common import build_audio_pipeline, make_generation_hook, make_rf_chunked_eval, run_audio_training
 
 
 def build_args():
@@ -42,6 +42,11 @@ def build_args():
     model_group.add_argument("--free_nats_steps", default=0, type=int)
     model_group.add_argument("--free_nats_start_value", default=0.0625, type=float)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int,
+                             help="log 2 ancestrally generated clips every N eval epochs (0 disables). "
+                             "Capability added over the reference: its STCN.generate raises "
+                             "NotImplementedError (stcn.py:435-442)")
+    model_group.add_argument("--generate_frames", default=16000, type=int)
     return parser.parse_args()
 
 
@@ -88,10 +93,13 @@ def run(args):
     # the reference STCN cannot split-eval at all — stcn.py:328)
     state_carry_eval = make_rf_chunked_eval(model, args, scalar_names=("beta", "free_nats"))
 
+    post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
         tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval, seq_parallel_ok=True,
+        post_eval_hook=post_eval_hook,
     )
 
 

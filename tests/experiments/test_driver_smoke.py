@@ -421,6 +421,10 @@ class TestSTCNDriver:
             "--bucket_multiple", "512",
             "--n_devices", "1",
             "--run_dir", str(run_dir),
+            # generation logging: capability added over the reference (its
+            # STCN.generate raises NotImplementedError, stcn.py:435-442)
+            "--generate_every", "1",
+            "--generate_frames", "64",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_stcn_audio")
@@ -428,6 +432,8 @@ class TestSTCNDriver:
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
         assert "elbo (bpx)" in lines[0]["synthetic_test"]
         assert "kl_0 (bpz)" in lines[0]["synthetic_test"]
+        generated = list((run_dir / "audio").glob("epoch*_generated_*.wav"))
+        assert len(generated) == 2
 
 
 class TestDistributionBaseline:

@@ -204,3 +204,100 @@ class TestTraining:
             params, opt_state, loss = step(params, opt_state, sub)
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestGenerate:
+    """Ancestral generation — capability added over the reference (whose
+    STCN.generate raises NotImplementedError, stcn.py:435-442)."""
+
+    def test_shapes_and_finiteness(self):
+        model = make_model()
+        T = 48
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.full((2,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        (gen, gen_sl), _ = jax.jit(
+            lambda params, key: model.apply(
+                {"params": params}, n_samples=3, max_timesteps=17,
+                rngs={"sample": key}, method=STCN.generate,
+            )
+        )(variables["params"], jax.random.PRNGKey(3))
+        assert gen.shape == (3, 17)
+        assert np.all(np.isfinite(np.asarray(gen)))
+        assert np.all(np.asarray(gen_sl) == 17)
+
+    def test_mode_deterministic_given_priming(self):
+        """use_mode_observations still samples z from the prior but decodes
+        the mode — same key, same priming => identical output."""
+        model = make_model()
+        T = 48
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, T)), jnp.float32)
+        x_sl = jnp.full((1,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        def gen(key):
+            (out, _), _ = model.apply(
+                {"params": variables["params"]}, n_samples=2, max_timesteps=9,
+                use_mode_observations=True, x=x,
+                rngs={"sample": key}, method=STCN.generate,
+            )
+            return np.asarray(out)
+
+        a, b = gen(jax.random.PRNGKey(5)), gen(jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(a, b)
+
+    def test_frame_stacked_generate(self):
+        model = make_model(n_stack_frames=4)
+        T = 64
+        x = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.full((2,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+        (gen, gen_sl), _ = model.apply(
+            {"params": variables["params"]}, n_samples=2, max_timesteps=16,
+            rngs={"sample": jax.random.PRNGKey(3)}, method=STCN.generate,
+        )
+        assert gen.shape == (2, 16)  # 4 columns x 4 stacked frames
+        assert np.all(np.isfinite(np.asarray(gen)))
+
+    def test_window_column_aligns_with_forward(self):
+        """The generation-time conditioning column (rf-window encoder forward,
+        skip_size=1) must equal the training forward's d_p column at the same
+        position — for t both below and above the receptive field. This pins
+        the window/padding alignment, the part a windowed rescan can silently
+        get wrong."""
+        model = make_model()
+        rf = model.receptive_field
+        n = len(model.latent_size)
+        T = rf + 16
+        x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, T, 1)), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x[:, :, 0], jnp.full((2,), T, jnp.int32),
+        )
+        params = variables["params"]
+
+        def dp_full(mdl):
+            """Training-path d_p columns (mirrors __call__)."""
+            xp = jnp.pad(x, ((0, 0), (rf, 0), (0, 0)))
+            out = mdl.causal(xp, pad_causal=False)
+            skips = mdl.res_stack(out, skip_size=T + 1)
+            d = skips[n - 1 :: n][:n]
+            return [d_[:, :-1] for d_ in d]  # (B, T, C) each
+
+        def win_col(mdl, window):
+            """Generation-path column for one rf-window."""
+            out = mdl.causal(window, pad_causal=False)
+            skips = mdl.res_stack(out, skip_size=1)
+            return skips[n - 1 :: n][:n]  # (B, 1, C) each
+
+        dp = model.apply({"params": params}, method=dp_full)
+        for t in (3, rf - 1, rf, rf + 7):
+            hist = x[:, max(0, t - rf) : t]
+            window = jnp.pad(hist, ((0, 0), (rf - hist.shape[1], 0), (0, 0)))
+            cols = model.apply({"params": params}, window, method=win_col)
+            for l in range(n):
+                np.testing.assert_allclose(
+                    np.asarray(cols[l][:, 0]), np.asarray(dp[l][:, t]), atol=1e-5,
+                    err_msg=f"t={t} level={l}",
+                )
