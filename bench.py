@@ -511,6 +511,50 @@ def bench_generation(bf16, fast, n_frames):
     }
 
 
+def bench_stcn_generation(bf16, n_frames):
+    """STCN ancestral sampling throughput (flagship config, B=2 sequences) —
+    capability ADDED over the reference (its ``STCN.generate`` raises
+    ``NotImplementedError``, ``stcn.py:435-442``), so there is no reference
+    figure to normalize against; ``vs_baseline`` is vs the frame rate of the
+    16 kHz waveform (1.0 = real time). Same timing discipline as the WaveNet
+    generation bench (device_get-closed, two-length linearity check)."""
+    from blvm_tpu.models import STCN
+
+    model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16)
+    x0 = jnp.zeros((1, model.receptive_field + 8), jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, x0, jnp.full((1,), x0.shape[1], jnp.int32))
+    )(jax.random.PRNGKey(0))
+
+    def timed(n, key):
+        gen = jax.jit(
+            lambda params, k: model.apply(
+                {"params": params}, n_samples=2, max_timesteps=n, rngs={"sample": k},
+                method=type(model).generate,
+            )[0][0]
+        )
+        float(jax.device_get(gen(variables["params"], jax.random.PRNGKey(0))[0, -1]))  # compile+warm
+        t0 = time.perf_counter()
+        float(jax.device_get(gen(variables["params"], key)[0, -1]))
+        return (time.perf_counter() - t0) / n
+
+    per_frame_a = timed(max(200, n_frames // 8), jax.random.PRNGKey(1))
+    per_frame_b = timed(n_frames, jax.random.PRNGKey(2))
+    linear = abs(per_frame_a - per_frame_b) <= 0.25 * max(per_frame_a, per_frame_b)
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    return {
+        "metric": "stcn_generation_frames_per_sec",
+        "value": round(1.0 / per_frame_b, 1),
+        "unit": "frames/s",
+        "vs_baseline": round((1.0 / per_frame_b) / 16000.0, 4),  # 1.0 = 16 kHz real time
+        "n_frames": n_frames,
+        "path": "windowed",
+        "device_kind": kind,
+        "dtype": "bf16" if bf16 else "f32",
+        "timing_linear": linear,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument("--all", action="store_true", help="benchmark every family (one JSON line each)")
@@ -526,6 +570,8 @@ def main():
     parser.add_argument("--generation", action="store_true", help="benchmark WaveNet ancestral sampling instead")
     parser.add_argument("--gen_naive", action="store_true", help="with --generation: time the windowed-rescan oracle")
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
+    parser.add_argument("--stcn_generation", action="store_true",
+                        help="benchmark STCN ancestral sampling (capability added over the reference)")
     args = parser.parse_args()
 
     global REMAT, ACCUM, ACCUM_UNROLL, WN_B, WN_T, WN_S
@@ -546,6 +592,10 @@ def main():
 
     if args.generation:
         print(json.dumps(bench_generation(bf16, fast=not args.gen_naive, n_frames=args.gen_frames)))
+        return
+
+    if args.stcn_generation:
+        print(json.dumps(bench_stcn_generation(bf16, n_frames=args.gen_frames)))
         return
 
     if args.families:
