@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
         "materializes up to K steps after the batch that caused it",
     )
     setup_group.add_argument(
+        "--device_prefetch_depth",
+        type=int,
+        default=2,
+        help="pad + device_put train batches this many steps ahead so the host-to-device "
+        "transfer overlaps compute (1 = place at use time)",
+    )
+    setup_group.add_argument(
         "--log_norms",
         type=str2bool,
         default=False,

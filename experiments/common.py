@@ -163,6 +163,29 @@ def make_scalar_schedules(annealers: Dict[str, object]):
     return step_schedules
 
 
+class PrefetchedDeviceBatches:
+    """Iterate a train loader, padding + device-placing each batch ``depth``
+    steps ahead so the host→device transfer overlaps the previous steps'
+    compute (``jax.device_put`` is async; issuing it at use time still puts
+    its latency on the critical path between dispatches). Yields
+    ``(device_batch, metadata)``; keeps the loader's ``__len__`` so the
+    tracker's progress totals are unchanged."""
+
+    def __init__(self, loader, make_device_batch: Callable, depth: int = 2):
+        self.loader, self.make_device_batch, self.depth = loader, make_device_batch, max(1, depth)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        buf = []
+        for (x, x_sl), metadata in self.loader:
+            buf.append((self.make_device_batch(x, x_sl), metadata))
+            if len(buf) >= self.depth:
+                yield buf.pop(0)
+        yield from buf
+
+
 class DeferredMetrics:
     """Fetch step metrics ``lag`` steps late so the per-step ``device_get``
     never stalls the TPU async-dispatch pipeline.
@@ -428,15 +451,17 @@ def run_audio_training(
             tracker.update(build_metrics(mets_host))
 
         deferred = DeferredMetrics(fetch_mets, consume_train_mets, metric_fetch_lag)
-        for (x, x_sl), metadata in tracker.steps(
-            pipeline.train_loader, source=dataset.train, before_unset=deferred.flush
+        train_batches = PrefetchedDeviceBatches(
+            pipeline.train_loader, make_device_batch, depth=max(1, getattr(args, "device_prefetch_depth", 2))
+        )
+        for batch, metadata in tracker.steps(
+            train_batches, source=dataset.train, before_unset=deferred.flush
         ):
-            batch = make_device_batch(x, x_sl)
             scalars = schedules()
             state, mets = train_step(state, batch, scalars)
             # defer the host fetch: the loader threads keep the next batch
-            # ready and the dispatch pipeline keeps the device busy while the
-            # lag-old metrics are pulled
+            # ready (device-placed ``depth`` ahead) and the dispatch pipeline
+            # keeps the device busy while the lag-old metrics are pulled
             deferred.push(mets)
 
         # ------------------------------------------------------------------ eval
