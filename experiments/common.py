@@ -213,8 +213,13 @@ class DeferredMetrics:
             self.consume(self.fetch(self._pending.pop(0)))
 
     def flush(self) -> None:
-        while self._pending:
-            self.consume(self.fetch(self._pending.pop(0)))
+        # one batched fetch for the whole queue (a list of metric pytrees is
+        # itself a pytree): the epoch-end drain costs one device round-trip
+        # instead of ``lag`` serial ones
+        pending, self._pending = self._pending, []
+        if pending:
+            for mets_host in self.fetch(pending):
+                self.consume(mets_host)
 
 
 def run_audio_training(
