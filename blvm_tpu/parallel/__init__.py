@@ -1,6 +1,7 @@
 from blvm_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     SEQ_AXIS,
     batch_sharding,
     get_mesh,
@@ -19,5 +20,12 @@ from blvm_tpu.parallel.tensor_parallel import (
     WAVENET_TP_RULES,
     shard_train_state,
     tree_shardings,
+)
+from blvm_tpu.parallel.pipeline_parallel import (
+    PIPELINE_PP_RULES,
+    WaveNetPipelineAdapter,
+    from_pipeline_params,
+    make_pipelined_stack,
+    to_pipeline_params,
 )
 from blvm_tpu.parallel.train_step import make_eval_step, make_train_step

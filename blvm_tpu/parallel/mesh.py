@@ -24,6 +24,7 @@ _DISTRIBUTED_INITIALIZED = False
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
@@ -70,6 +71,7 @@ def make_mesh(
     axis_name: str = DATA_AXIS,
     model_axis_size: int = 1,
     seq_axis_size: int = 1,
+    pipe_axis_size: int = 1,
 ) -> Mesh:
     """Create (and remember) the process-wide mesh.
 
@@ -80,9 +82,14 @@ def make_mesh(
     axis over which batches shard their TIME dimension (sequence/context
     parallelism for the conv families — GSPMD inserts the dilated-conv halo
     exchanges as small ``collective-permute``s over ICI, measured: zero
-    all-gathers on the WaveNet step). Axis order is ``(data, seq, model)``,
-    innermost last so TP collectives ride the fastest ICI loop; axes of
-    size 1 are dropped so existing 1-D/2-D call sites are unchanged.
+    all-gathers on the WaveNet step). ``pipe_axis_size > 1`` adds a ``pipe``
+    axis over which the conv residual stacks pipeline their BLOCKS
+    (GPipe-style microbatch pipelining — see
+    ``parallel/pipeline_parallel.py``). Axis order is
+    ``(data, seq, pipe, model)``, innermost last so TP collectives ride the
+    fastest ICI loop and the pipeline's stage-to-stage ``ppermute`` rides the
+    next; axes of size 1 are dropped so existing 1-D/2-D call sites are
+    unchanged.
     """
     global _MESH
     if devices is None:
@@ -92,13 +99,15 @@ def make_mesh(
     devices = np.asarray(devices)
     model_axis_size = model_axis_size or 1
     seq_axis_size = seq_axis_size or 1
-    if devices.size % (model_axis_size * seq_axis_size) != 0:
+    pipe_axis_size = pipe_axis_size or 1
+    denom = model_axis_size * seq_axis_size * pipe_axis_size
+    if devices.size % denom != 0:
         raise ValueError(
             f"{devices.size} devices not divisible by seq_axis_size={seq_axis_size} "
-            f"x model_axis_size={model_axis_size}"
+            f"x pipe_axis_size={pipe_axis_size} x model_axis_size={model_axis_size}"
         )
-    shape = [devices.size // (seq_axis_size * model_axis_size), seq_axis_size, model_axis_size]
-    names = [axis_name, SEQ_AXIS, MODEL_AXIS]
+    shape = [devices.size // denom, seq_axis_size, pipe_axis_size, model_axis_size]
+    names = [axis_name, SEQ_AXIS, PIPE_AXIS, MODEL_AXIS]
     keep = [i for i, s in enumerate(shape) if s > 1 or i == 0]  # always keep the data axis
     _MESH = Mesh(devices.reshape([shape[i] for i in keep]), tuple(names[i] for i in keep))
     return _MESH

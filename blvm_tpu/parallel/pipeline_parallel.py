@@ -1,0 +1,342 @@
+"""Pipeline parallelism (GPipe-style) for the dilated-conv residual stacks.
+
+The reference has no model parallelism of any kind (SURVEY §2.8;
+``blvm/utils/argparsers.py:51-56`` defines DDP flags that are never wired).
+This module adds the third TPU scaling axis beyond the data/seq/model axes:
+the WaveNet ``ResidualStack`` (``blvm/models/wavenet/wavenet_modules.py:120-211``
+in the reference; ``blvm_tpu/models/wavenet/modules.py`` here) is cut into
+``n_stages`` *stages* of whole dilation stacks, each stage owned by one slice
+of devices along a ``pipe`` mesh axis, and microbatches stream through the
+stages GPipe-style: stage ``s`` processes microbatch ``m`` at tick ``m + s``
+while its neighbours work on other microbatches, with the residual activation
+handed to the next stage by a ``lax.ppermute`` ring shift each tick.
+
+Why this is a real lever for THIS workload: the flagship WaveNet/STCN steps
+are HBM-**capacity**-bound, not FLOP-bound (NOTES.md round-3 roofline: B=8
+monolithic temp alloc 9-13 GB of 16 GB forces XLA spills; gradient
+accumulation already buys back 1.3-2.2x by shrinking the live set). Data and
+sequence parallelism shard the batch/time axes of every layer's activations
+but each device still materializes all 50 blocks' intermediates; the pipe
+axis shards the DEPTH axis — each stage holds only its own blocks' (and
+in-flight microbatches') activations and parameters/optimizer moments, which
+is the remaining way to cut the live set without changing the math.
+
+TPU-native design (not a torch translation — the reference has nothing to
+translate): per-stage block parameters are stacked on a leading stage axis
+and sharded over ``pipe``; one ``jax.shard_map`` runs the whole pipeline as
+a ``lax.scan`` over ``n_micro + n_stages - 1`` ticks; the only collectives
+are the per-tick ring ``ppermute`` of one microbatch's residual buffer and a
+single final ``psum`` that folds the per-stage skip sums (each block's skip
+output, summed within the stage in block order) into the model's global skip
+sum. Everything is differentiable — ``jax.grad`` through the ``shard_map``
+transposes the ``ppermute`` to its reverse ring and turns the replicated
+input broadcast into the data-parallel gradient ``psum``, so
+``make_train_step`` applies unchanged.
+
+Geometry: the pipelined stack works on FIXED-WIDTH right-aligned buffers.
+The standard stack shrinks the time axis by ``dilation`` at each block
+(VALID convs); stages, however, must exchange identically-shaped payloads.
+Each block's output is therefore left-padded back to the stage-invariant
+buffer width ``T_buf = skip_size + sum(dilations)``. The pad frames are
+garbage that precisely mirrors the frames the shrinking form would have
+dropped: a VALID conv output at position t only reads inputs at t..t+d, so
+the rightmost ``skip_size`` frames — the only ones the skip slices and the
+final output read — are bit-for-bit the same contractions as the shrinking
+form (equivalence is tested to float tolerance; XLA may tile the two shapes
+differently).
+
+Constraint: ``n_stages`` must divide ``n_stacks`` so every stage applies the
+same dilation sequence (whole stacks) — SPMD requires one stage program. The
+flagship 5-stack WaveNet therefore pipelines at pipe=5 (a v4-8/v5e-8 slice
+row); tests and the multichip dryrun use 2/4-stack configs at pipe=2.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from blvm_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+
+# TrainState sharding rules for the pipeline parameter layout: every stacked
+# stage leaf (params AND the Adam moments mirroring them) shards its leading
+# stage axis over ``pipe`` — per-stage optimizer memory, ZeRO-style for free
+# (same mechanism as tensor_parallel.shard_train_state).
+PIPELINE_PP_RULES = [(r"stages/block_\d+/", P(PIPE_AXIS))]
+
+
+def _block_names(res_stack_params):
+    names = [k for k in res_stack_params if k.startswith("Conv1dResidualGLU_")]
+    return sorted(names, key=lambda s: int(s.rsplit("_", 1)[1]))
+
+
+def to_pipeline_params(params, n_stages: int):
+    """Canonical WaveNet params -> pipeline layout.
+
+    The ``res_stack``'s per-block subtrees ``Conv1dResidualGLU_{s*bps+j}``
+    are regrouped into ``res_stack/stages/block_{j}`` with leaves stacked on
+    a leading stage axis (shape ``(n_stages, ...)``); everything else is
+    untouched. Inverse: :func:`from_pipeline_params`. Both are pure jnp
+    stacking — usable on host params or inside a jitted function.
+    """
+    rs = dict(params["res_stack"])
+    names = _block_names(rs)
+    n_blocks = len(names)
+    if n_blocks % n_stages != 0:
+        raise ValueError(f"{n_blocks} blocks not divisible by n_stages={n_stages}")
+    bps = n_blocks // n_stages
+    stages = {}
+    for j in range(bps):
+        per_stage = [rs.pop(f"Conv1dResidualGLU_{s * bps + j}") for s in range(n_stages)]
+        stages[f"block_{j}"] = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *per_stage)
+    rs["stages"] = stages
+    out = dict(params)
+    out["res_stack"] = rs
+    return out
+
+
+def from_pipeline_params(params, n_stages: Optional[int] = None):
+    """Pipeline-layout WaveNet params -> canonical layout (exact inverse)."""
+    rs = dict(params["res_stack"])
+    stages = dict(rs.pop("stages"))
+    bps = len(stages)
+    if n_stages is None:
+        n_stages = jax.tree_util.tree_leaves(stages)[0].shape[0]
+    for j in range(bps):
+        stacked = stages[f"block_{j}"]
+        for s in range(n_stages):
+            rs[f"Conv1dResidualGLU_{s * bps + j}"] = jax.tree_util.tree_map(lambda l: l[s], stacked)
+    out = dict(params)
+    out["res_stack"] = rs
+    return out
+
+
+def make_pipelined_stack(
+    *,
+    n_layers: int,
+    n_stacks: int,
+    res_channels: int,
+    skip_channels: Optional[int],
+    gate_channels: Optional[int],
+    kernel_size: int,
+    base_dilation: int,
+    dtype,
+    n_stages: int,
+    n_micro: int,
+    mesh: Mesh,
+):
+    """Build ``pipelined(stage_params, h) -> skip_sum``: the GPipe engine.
+
+    ``stage_params``: the ``res_stack/stages`` subtree in pipeline layout
+    (leaves ``(n_stages, ...)``, sharded or shardable over ``pipe``).
+    ``h``: the residual-stack input AFTER the stack's 1x1 in-transform,
+    shape ``(B, T_buf, res_channels)`` with ``T_buf = skip_size + sum(d)``.
+    Returns the f32 skip sum ``(B, skip_size, skip_ch)`` — the exact value of
+    ``sum(at_least_f32(s) for s in skips)`` in the standard forward
+    (``models/wavenet/wavenet.py:_network``), up to f32 sum reassociation
+    (stage partials are summed per stage in block order, then across stages).
+    """
+    from blvm_tpu.models.wavenet.modules import Conv1dResidualGLU, ResidualStack
+    from blvm_tpu.ops.likelihoods import at_least_f32
+
+    if PIPE_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{PIPE_AXIS}' axis: {mesh.axis_names}")
+    if mesh.shape[PIPE_AXIS] != n_stages:
+        raise ValueError(f"mesh pipe axis ({mesh.shape[PIPE_AXIS]}) != n_stages ({n_stages})")
+    for ax in ("seq", "model"):
+        if ax in mesh.axis_names:
+            raise ValueError(f"pipeline parallelism does not compose with the '{ax}' axis yet")
+
+    dilations = list(ResidualStack.build_dilations(n_layers, n_stacks, base_dilation))
+    n_blocks = len(dilations)
+    if n_blocks % n_stages != 0 or n_stacks % n_stages != 0:
+        raise ValueError(
+            f"n_stages={n_stages} must divide n_stacks={n_stacks} (stages must be whole dilation stacks)"
+        )
+    bps = n_blocks // n_stages
+    stage_dil = dilations[:bps]
+    for s in range(n_stages):
+        if dilations[s * bps : (s + 1) * bps] != stage_dil:
+            raise ValueError("stages are not homogeneous: dilation sequence differs between stages")
+    consumed = sum(stage_dil)  # time frames consumed per stage
+    skip_ch = skip_channels or res_channels
+
+    blocks = [
+        Conv1dResidualGLU(
+            res_channels=res_channels,
+            skip_channels=skip_channels,
+            gate_channels=gate_channels,
+            kernel_size=kernel_size,
+            dilation=d,
+            dtype=dtype,
+        )
+        for d in stage_dil
+    ]
+
+    def stage_fn(sp, buf, skip_size):
+        """Apply this stage's blocks on the fixed-width buffer; return the
+        re-aligned buffer and the stage's f32 skip sum (block order)."""
+        skip_acc = None
+        for j, (block, d) in enumerate(zip(blocks, stage_dil)):
+            bp = sp[f"block_{j}"]
+            o, s_ = block.apply({"params": bp}, buf, skip_size)
+            # VALID conv consumed d frames; left-pad back to the stage-invariant
+            # width (the pad frames mirror what the shrinking form dropped and
+            # are never read by a valid output — module docstring)
+            buf = jnp.pad(o, ((0, 0), (d, 0), (0, 0)))
+            s32 = at_least_f32(s_)
+            skip_acc = s32 if skip_acc is None else skip_acc + s32
+        return buf, skip_acc
+
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def body(stage_params, h_local):
+        # shard_map hands each device its (1, ...) stage slice — drop the axis
+        sp = jax.tree_util.tree_map(lambda l: l[0], stage_params)
+        s_idx = jax.lax.axis_index(PIPE_AXIS)
+        B_loc, T_buf, _ = h_local.shape
+        skip_size = T_buf - n_stages * consumed
+        if B_loc % n_micro != 0:
+            raise ValueError(f"per-device batch ({B_loc}) not divisible by n_micro={n_micro}")
+        Bm = B_loc // n_micro
+        h_mb = h_local.reshape(n_micro, Bm, T_buf, res_channels)
+
+        buf0 = jnp.zeros((Bm, T_buf, res_channels), h_local.dtype)
+        # +1 trash slot: drain-phase ticks with no valid microbatch write there
+        skips0 = jnp.zeros((n_micro + 1, Bm, skip_size, skip_ch), jnp.float32)
+
+        def tick(carry, t):
+            buf, skips = carry
+            # stage 0 injects microbatch t (drain ticks re-run the last one —
+            # finite garbage whose outputs are never stored)
+            buf = jnp.where(s_idx == 0, h_mb[jnp.clip(t, 0, n_micro - 1)], buf)
+            buf, skip_sum = stage_fn(sp, buf, skip_size)
+            # stage s works on microbatch m = t - s; store its skip partial
+            m = t - s_idx
+            valid = (m >= 0) & (m < n_micro)
+            idx = jnp.where(valid, m, n_micro)
+            skips = jax.lax.dynamic_update_slice_in_dim(skips, skip_sum[None], idx, axis=0)
+            # hand the processed residual buffer to the next stage (ring —
+            # the wrap back to stage 0 is overwritten by the next injection)
+            buf = jax.lax.ppermute(buf, PIPE_AXIS, perm)
+            return (buf, skips), None
+
+        (_, skips), _ = jax.lax.scan(tick, (buf0, skips0), jnp.arange(n_micro + n_stages - 1))
+        # fold the per-stage skip partials into the global skip sum; also
+        # makes the output pipe-replicated so the head runs data-parallel
+        total = jax.lax.psum(skips[:n_micro], PIPE_AXIS)  # (M, Bm, skip, S)
+        return total.reshape(n_micro * Bm, skip_size, skip_ch)
+
+    def pipelined(stage_params, h):
+        specs = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), stage_params)
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P(DATA_AXIS, None, None)),
+            out_specs=P(DATA_AXIS, None, None),
+            check_vma=False,
+        )(stage_params, h)
+
+    return pipelined
+
+
+class WaveNetPipelineAdapter:
+    """Everything the driver/train loop needs to run a WaveNet pipelined.
+
+    Reproduces the model's training forward (``models/wavenet/wavenet.py:
+    __call__`` with ``pad_causal=True, pad_receptive_field=True`` — the
+    reference geometry, ``blvm/models/wavenet/wavenet.py:148-219``) with the
+    residual stack replaced by the GPipe engine. Embedding configs are
+    unsupported (the flagship/benchmarks grid uses DMoL on raw waveforms);
+    frame stacking is supported.
+
+    ``params`` seen by the returned loss_fn are in PIPELINE layout
+    (:func:`to_pipeline_params`); checkpoints stay canonical via
+    :func:`from_pipeline_params` at the save/eval boundaries.
+    """
+
+    def __init__(self, model, n_stages: int, n_micro: int):
+        if model.embedding_dim is not None:
+            raise ValueError("pipeline parallelism does not support embedding-input WaveNets")
+        self.model = model
+        self.n_stages = int(n_stages)
+        self.n_micro = int(n_micro)
+        self.rules = PIPELINE_PP_RULES
+
+    def to_pipeline(self, params):
+        return to_pipeline_params(params, self.n_stages)
+
+    def from_pipeline(self, params):
+        return from_pipeline_params(params, self.n_stages)
+
+    def make_loss_fn(self, mesh: Mesh):
+        from blvm_tpu.models.wavenet.modules import CausalConv1d, Conv1d, PointwiseTransform
+        from blvm_tpu.modules.distributions import get_likelihood_head
+        from blvm_tpu.ops.sequence import sequence_mask, stack_tensor
+
+        model = self.model
+        nsf = model.n_stack_frames
+        rf = model.receptive_field
+        dtype = jnp.bfloat16 if model.bf16 else None
+        variance_scale = math.sqrt(1 / model.n_stacks * model.n_layers)  # parity quirk, wavenet.py:79
+        head = get_likelihood_head(
+            model.likelihood, y_dim=1, num_mix=model.num_mix, num_bins=model.num_bins
+        )
+        causal = CausalConv1d(features=model.res_channels, kernel_size=model.kernel_size)
+        in_conv = Conv1d(features=model.res_channels, kernel_size=1, dtype=dtype)
+        out_transform = PointwiseTransform(model.res_channels * nsf)
+        add_y_channel = model.likelihood.lower() != "categorical"
+
+        pipelined = make_pipelined_stack(
+            n_layers=model.n_layers,
+            n_stacks=model.n_stacks,
+            res_channels=model.res_channels,
+            skip_channels=model.skip_channels,
+            gate_channels=model.gate_channels,
+            kernel_size=model.kernel_size,
+            base_dilation=model.base_dilation,
+            dtype=dtype,
+            n_stages=self.n_stages,
+            n_micro=self.n_micro,
+            mesh=mesh,
+        )
+
+        def loss_fn(params, rng, batch, scalars):
+            x, x_sl = batch["x"], batch["x_sl"]
+            y = jax.lax.stop_gradient(x)
+            if nsf > 1:
+                x, p = stack_tensor(x, nsf, axis=1)
+            if x.ndim == 2:
+                x = x[..., None]
+            if add_y_channel and y.ndim == 2:
+                y = y[..., None]
+            T = x.shape[1]
+            x = jnp.pad(x, ((0, 0), (rf, 0), (0, 0)))
+
+            h = causal.apply({"params": params["causal"]}, x, pad_causal=True)
+            h = in_conv.apply({"params": params["res_stack"]["Conv1d_0"]}, h)
+            skip_sum = pipelined(params["res_stack"]["stages"], h)  # (B, T, S) f32
+            logits = out_transform.apply({"params": params["out_transform"]}, skip_sum * variance_scale)
+            if nsf > 1:
+                B, Ts, _ = logits.shape
+                logits = logits.reshape(B, Ts, nsf, model.res_channels).reshape(
+                    B, Ts * nsf, model.res_channels
+                )
+                if p:
+                    logits = logits[:, :-p]
+            parameters = head.apply({"params": params["likelihood_head"]}, logits)
+
+            # masked NLL / sum(x_sl) — WaveNet.compute_loss (wavenet.py:119-131)
+            seq_mask = sequence_mask(x_sl, max_len=y.shape[1], dtype=jnp.float32)
+            if y.ndim == 2:
+                log_prob_twise = head.log_prob(y, parameters, reduce_dim=None) * seq_mask
+            else:
+                log_prob_twise = head.log_prob(y, parameters) * seq_mask
+            log_prob = log_prob_twise.reshape(y.shape[0], -1).sum(axis=1)
+            loss = -log_prob.sum() / x_sl.sum()
+            mets = dict(loss=loss, log_prob=log_prob, x_sl=x_sl)
+            return loss, (mets, None)
+
+        return loss_fn
