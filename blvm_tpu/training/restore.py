@@ -53,11 +53,16 @@ def load_run(
     tx=None,
     annealers: Optional[dict] = None,
     raise_errors: bool = True,
+    opt_state_params_fn=None,
 ):
     """Load a run: returns ``(model, params, opt_state, meta)``.
 
     ``tx`` (the optax optimizer) is needed to rebuild the opt-state structure
     before byte-restoring it; pass None to skip optimizer state.
+    ``opt_state_params_fn`` maps the loaded (canonical-layout) params to the
+    layout the optimizer state was SAVED over — e.g. the pipeline-parallel
+    stage-stacked layout (``parallel/pipeline_parallel.py``), whose Adam
+    moments mirror that layout rather than the checkpointed params.
     """
     LOGGER.info(f"Loading run files from: {directory}")
 
@@ -70,7 +75,7 @@ def load_run(
     if tx is not None:
         opt_path = os.path.join(directory, CHECKPOINT_OPT_STR)
         try:
-            opt_state = tx.init(params)
+            opt_state = tx.init(opt_state_params_fn(params) if opt_state_params_fn else params)
             with open(opt_path, "rb") as f:
                 opt_state = serialization.from_bytes(opt_state, f.read())
             opt_state = jax.tree_util.tree_map(jax.numpy.asarray, opt_state)

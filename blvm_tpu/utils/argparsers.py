@@ -116,6 +116,22 @@ def build_parser() -> argparse.ArgumentParser:
         "over ICI). Scales max trainable sequence length beyond one chip's HBM",
     )
     mesh_group.add_argument(
+        "--pipeline_axis_size",
+        type=int,
+        default=1,
+        help="pipeline-parallel mesh axis size: the conv residual stack is cut into this many "
+        "stages of whole dilation stacks (must divide n_stacks) and microbatches stream through "
+        "them GPipe-style (WaveNet only; see parallel/pipeline_parallel.py). Shards the DEPTH "
+        "axis of activations and optimizer memory",
+    )
+    mesh_group.add_argument(
+        "--pipeline_microbatches",
+        type=int,
+        default=4,
+        help="microbatches in flight per pipelined step (bubble fraction = (stages-1)/(this+stages-1); "
+        "the batch size must be divisible by it)",
+    )
+    mesh_group.add_argument(
         "--dist_coordinator",
         type=str,
         default=None,

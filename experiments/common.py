@@ -235,6 +235,7 @@ def run_audio_training(
     tp_rules=None,
     iw_kwargs: Optional[Dict] = None,
     seq_parallel_ok: bool = False,
+    pp_adapter_factory: Optional[Callable] = None,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -252,6 +253,14 @@ def run_audio_training(
         iw_kwargs: extra ``model.apply`` kwargs for the ``--eval_iw_samples``
             importance-weighted bound (e.g. CWVAE needs
             ``pad_strideable=True``).
+        pp_adapter_factory: ``f(n_stages, n_micro) -> adapter`` building a
+            pipeline-parallel adapter (``parallel/pipeline_parallel.py``);
+            with ``--pipeline_axis_size > 1`` the mesh gains a ``pipe`` axis,
+            training runs the adapter's GPipe loss over pipeline-layout
+            params, and eval/checkpoints convert back to the canonical layout
+            (checkpoints stay portable to non-pipelined runs; the optimizer
+            moments are saved in pipeline layout, so ``--resume`` must keep
+            the same ``--pipeline_axis_size``).
     """
     enable_persistent_compile_cache()
     # multi-host: join the cluster BEFORE touching devices; afterwards
@@ -289,7 +298,25 @@ def run_audio_training(
                     f"--{flag} ({val}) must be divisible by --seq_axis_size ({seq_axis_size}) "
                     "so batch time lengths split evenly over the seq mesh axis"
                 )
-    mesh = make_mesh(args.n_devices, model_axis_size=model_axis_size, seq_axis_size=seq_axis_size)
+    pipe_axis_size = int(getattr(args, "pipeline_axis_size", 1) or 1)
+    pp_adapter = None
+    if pipe_axis_size > 1:
+        if pp_adapter_factory is None:
+            raise ValueError("--pipeline_axis_size > 1 is only supported by the WaveNet experiment")
+        if model_axis_size > 1 or seq_axis_size > 1:
+            raise ValueError("--pipeline_axis_size does not compose with --model_axis_size/--seq_axis_size yet")
+        if int(getattr(args, "accum_steps", 1) or 1) > 1:
+            raise ValueError("pipeline parallelism microbatches internally — use --pipeline_microbatches, not --accum_steps")
+        if getattr(args, "split_eval", False) and state_carry_eval is not None:
+            LOGGER.warning("pipeline parallelism: --split_eval unsupported, falling back to whole-sequence eval")
+            state_carry_eval = None
+        pp_adapter = pp_adapter_factory(pipe_axis_size, int(getattr(args, "pipeline_microbatches", 4) or 1))
+    mesh = make_mesh(
+        args.n_devices,
+        model_axis_size=model_axis_size,
+        seq_axis_size=seq_axis_size,
+        pipe_axis_size=pipe_axis_size,
+    )
     # batches shard over the data axis only; pad the batch to its size
     n_devices = mesh.shape[DATA_AXIS]
     # gradient accumulation: train batches must also split into accum_steps
@@ -297,7 +324,8 @@ def run_audio_training(
     # rows are zero-length — the bucket-invariant losses ignore them and the
     # accumulated step masks all-padding microbatches, train_step.py)
     accum_steps = int(getattr(args, "accum_steps", 1) or 1)
-    batch_multiple = n_devices * accum_steps
+    # pipelined steps split each data shard into pipeline microbatches instead
+    batch_multiple = n_devices * (pp_adapter.n_micro if pp_adapter is not None else accum_steps)
     LOGGER.info(f"mesh: {dict(mesh.shape)}; accum_steps: {accum_steps}; run dir: {run_dir}")
 
     if process_count > 1:
@@ -367,7 +395,11 @@ def run_audio_training(
         skip_nonfinite_updates=getattr(args, "skip_nonfinite_updates", False),
         **args.optimizer_kwargs,
     )
-    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+    init_params = variables["params"]
+    if pp_adapter is not None:
+        # training runs on the pipeline parameter layout (stage-stacked blocks)
+        init_params = pp_adapter.to_pipeline(init_params)
+    state = TrainState.create(apply_fn=model.apply, params=init_params, tx=tx, rng=rng_key)
 
     # --resume RUN_DIR: restore params + optimizer state + annealer states +
     # step from a saved run (reference resumes via manual wandb restore —
@@ -378,8 +410,15 @@ def run_audio_training(
         from blvm_tpu.training import load_run
 
         _, params_r, opt_state_r, meta = load_run(
-            resume_dir, model_class=type(model), tx=tx, annealers=annealers, raise_errors=False
+            resume_dir, model_class=type(model), tx=tx, annealers=annealers, raise_errors=False,
+            # PP saves the optimizer state over the stage-stacked layout
+            opt_state_params_fn=pp_adapter.to_pipeline if pp_adapter is not None else None,
         )
+        if pp_adapter is not None:
+            # checkpoints store canonical-layout params (portable); the opt
+            # state was saved in pipeline layout, so it restores directly as
+            # long as --pipeline_axis_size is unchanged
+            params_r = pp_adapter.to_pipeline(params_r)
         state = state.replace(params=params_r)
         if opt_state_r is not None:
             state = state.replace(opt_state=opt_state_r)
@@ -390,10 +429,19 @@ def run_audio_training(
 
     if model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
+    if pp_adapter is not None:
+        from blvm_tpu.parallel import PIPELINE_PP_RULES
+
+        # stage params + their Adam moments land sharded over the pipe axis
+        state = shard_train_state(state, mesh, PIPELINE_PP_RULES)
 
     log_norms = bool(getattr(args, "log_norms", False))
+    train_loss_fn = pp_adapter.make_loss_fn(mesh) if pp_adapter is not None else loss_fn
+    # eval always runs the standard (canonical-layout) forward; under pipeline
+    # parallelism the stage-stacked params are converted back once per eval
+    _pp_from_pipeline = jax.jit(pp_adapter.from_pipeline) if pp_adapter is not None else None
     train_step = make_train_step(
-        loss_fn,
+        train_loss_fn,
         mesh=mesh,
         log_norms=log_norms,
         accum=accum_steps,
@@ -473,6 +521,7 @@ def run_audio_training(
         extra = dict()
         if (epoch % args.test_every) == 0:
             outputs = None
+            eval_params = _pp_from_pipeline(state.params) if pp_adapter is not None else state.params
             scalars = {name: np.float32(a.value if a.value is not None else a.step()) for name, a in annealers.items()}
             for source_name, loader in pipeline.valid_test_loaders.items():
                 eval_deferred = DeferredMetrics(
@@ -490,12 +539,12 @@ def run_audio_training(
                         # (the reference logs reconstructions after split-eval
                         # too — experiment_srnn_audio.py:271-279)
                         x, x_sl = pad_batch_to_devices(x, x_sl, n_devices)
-                        ret = state_carry_eval(eval_step, state.params, sub, x, x_sl, scalars, tracker, source_name)
+                        ret = state_carry_eval(eval_step, eval_params, sub, x, x_sl, scalars, tracker, source_name)
                         if ret is not None:
                             outputs = ret
                     else:
                         batch = make_device_batch(x, x_sl)
-                        mets, outputs = eval_step(state.params, sub, batch, scalars)
+                        mets, outputs = eval_step(eval_params, sub, batch, scalars)
                         # eval passes share no state, so the dispatch pipeline
                         # can run several ahead while lag-old metrics are pulled
                         eval_deferred.push(mets)
@@ -506,7 +555,7 @@ def run_audio_training(
                         # not apply and the bound keeps its exact semantics
                         eval_key, sub_iw = jax.random.split(eval_key)
                         bound = jax.device_get(
-                            iw_step(state.params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
+                            iw_step(eval_params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
                         )
                         x_sl_h = np.asarray(x_sl)
                         bound = np.where(x_sl_h > 0, bound, 0.0)  # mask padded zero-length rows
@@ -520,7 +569,8 @@ def run_audio_training(
                 _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
 
             if post_eval_hook is not None and is_main:
-                post_eval_hook(state, epoch, run_dir, pipeline)
+                hook_state = state if pp_adapter is None else state.replace(params=eval_params)
+                post_eval_hook(hook_state, epoch, run_dir, pipeline)
 
             # conditional best-checkpoint save (reference gating semantics)
             if (
@@ -536,7 +586,7 @@ def run_audio_training(
                 save_run(
                     str(run_dir),
                     model=model,
-                    params=state.params,
+                    params=eval_params,
                     opt_state=state.opt_state,
                     annealers=annealers,
                     tracker=tracker,

@@ -89,13 +89,17 @@ def main():
         for i in range(samples.shape[0]):
             save_wav(audio_dir / f"epoch{epoch:04d}_generated_{i}.wav", samples[i])
 
-    from blvm_tpu.parallel import WAVENET_TP_RULES
+    from blvm_tpu.parallel import WAVENET_TP_RULES, WaveNetPipelineAdapter
 
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
     run_audio_training(
         args, model, pipeline, loss_fn, script_name="wavenet_audio",
         state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
         tp_rules=WAVENET_TP_RULES, seq_parallel_ok=True,
+        # --pipeline_axis_size N: GPipe the residual stack over a pipe mesh axis
+        pp_adapter_factory=lambda n_stages, n_micro: WaveNetPipelineAdapter(
+            model, n_stages=n_stages, n_micro=n_micro
+        ),
     )
 
 

@@ -324,6 +324,53 @@ class TestWaveNetDriver:
         assert np.isfinite(lines[0]["synthetic_train"]["loss"])
         assert np.isfinite(lines[0]["synthetic_test"]["bpd"])
 
+    def test_pipeline_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--pipeline_axis_size 2 trains over a (data=2, pipe=2) mesh (GPipe
+        microbatch pipelining of the residual stack), saves a CANONICAL-layout
+        checkpoint, and --resume restores it (params converted back to the
+        pipeline layout, optimizer moments byte-restored over it)."""
+        run_dir = tmp_path / "run_wavenet_pp"
+        base = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "2",
+            "--n_stacks", "2",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--pipeline_axis_size", "2",
+            "--pipeline_microbatches", "2",
+            "--run_dir", str(run_dir),
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", base + ["--epochs", "2", "--save_checkpoints", "true"])
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[-1]["synthetic_train"]["loss"])
+        assert np.isfinite(lines[-1]["synthetic_test"]["bpd"])
+
+        # the checkpoint params are canonical layout: plain model load works
+        from blvm_tpu.models import WaveNet
+
+        _, params = WaveNet.load(str(run_dir))
+        assert "Conv1dResidualGLU_0" in params["res_stack"]
+        assert "stages" not in params["res_stack"]
+
+        run_b = tmp_path / "run_wavenet_pp_resume"
+        monkeypatch.setattr(sys, "argv", base[:1] + [
+            a if a != str(run_dir) else str(run_b) for a in base[1:]
+        ] + ["--epochs", "3", "--save_checkpoints", "false", "--resume", str(run_dir)])
+        driver.main()
+        lines_b = [json.loads(l) for l in (run_b / "metrics.jsonl").read_text().splitlines()]
+        assert lines_b[-1]["epoch"] == 3  # epoch numbering continued
+        assert np.isfinite(lines_b[-1]["synthetic_train"]["loss"])
+
     def test_sequence_parallel_rejected_for_recurrent(self, synthetic_dataset, tmp_path, monkeypatch):
         """Recurrent families reject --seq_axis_size with a clear error."""
         argv = [
