@@ -290,6 +290,15 @@ class STCN(BaseModel):
         # step (profiler-measured; the f32 latent math happens INSIDE the
         # heads via ``at_least_f32`` on µ/σ, not on the skips).
 
+        return self.finish_from_skips(skip_connections, y, x_sl, T, p, free_nats, beta)
+
+    def finish_from_skips(self, skip_connections, y, x_sl, T, p, free_nats=0.0, beta=1.0):
+        """Latent inference + decode + loss from the (masked) skip list — the
+        training forward after the encoder stack. Factored out of
+        ``__call__`` so the pipeline-parallel adapter
+        (``parallel/pipeline_parallel.py``) can replace the encoder stack with
+        the GPipe engine and reuse everything downstream unchanged (same
+        module scopes, same ``sample`` rng sequence)."""
         mu_p, sd_p, mu_q, sd_q, z = self.infer(skip_connections)
 
         # decode consumes z in the compute dtype (the stack's in_transform

@@ -23,6 +23,7 @@ from blvm_tpu.parallel.tensor_parallel import (
 )
 from blvm_tpu.parallel.pipeline_parallel import (
     PIPELINE_PP_RULES,
+    STCNPipelineAdapter,
     WaveNetPipelineAdapter,
     from_pipeline_params,
     make_pipelined_stack,

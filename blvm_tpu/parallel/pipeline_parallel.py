@@ -52,7 +52,7 @@ row); tests and the multichip dryrun use 2/4-stack configs at pipe=2.
 """
 
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -126,17 +126,30 @@ def make_pipelined_stack(
     n_stages: int,
     n_micro: int,
     mesh: Mesh,
+    skip_mode: str = "sum",
+    local_skip_mask: Optional[Sequence[bool]] = None,
 ):
-    """Build ``pipelined(stage_params, h) -> skip_sum``: the GPipe engine.
+    """Build ``pipelined(stage_params, h)``: the GPipe engine.
 
     ``stage_params``: the ``res_stack/stages`` subtree in pipeline layout
     (leaves ``(n_stages, ...)``, sharded or shardable over ``pipe``).
     ``h``: the residual-stack input AFTER the stack's 1x1 in-transform,
-    shape ``(B, T_buf, res_channels)`` with ``T_buf = skip_size + sum(d)``.
-    Returns the f32 skip sum ``(B, skip_size, skip_ch)`` — the exact value of
+    shape ``(B, T_buf, res_channels)`` with
+    ``T_buf = skip_size + (kernel_size-1)·sum(d)``.
+
+    ``skip_mode="sum"`` (WaveNet): returns the f32 skip sum
+    ``(B, skip_size, skip_ch)`` — the exact value of
     ``sum(at_least_f32(s) for s in skips)`` in the standard forward
     (``models/wavenet/wavenet.py:_network``), up to f32 sum reassociation
     (stage partials are summed per stage in block order, then across stages).
+
+    ``skip_mode="collect"`` (STCN): returns the LIST of individual skip
+    tensors (compute dtype, global block order) for the blocks whose
+    ``local_skip_mask`` entry is True — the mask is per-stage-local (length
+    ``blocks_per_stage``) and must be the SAME for every stage (one SPMD
+    program); each stage all-gathers its collected skips at the end. This is
+    the shape STCN's hierarchical ``infer`` consumes (every n-th skip,
+    ``models/stcn/stcn.py:infer``).
     """
     from blvm_tpu.models.wavenet.modules import Conv1dResidualGLU, ResidualStack
     from blvm_tpu.ops.likelihoods import at_least_f32
@@ -160,8 +173,20 @@ def make_pipelined_stack(
     for s in range(n_stages):
         if dilations[s * bps : (s + 1) * bps] != stage_dil:
             raise ValueError("stages are not homogeneous: dilation sequence differs between stages")
-    consumed = sum(stage_dil)  # time frames consumed per stage
+    # a k-wide VALID conv at dilation d consumes d·(k-1) frames
+    consumed = sum(d * (kernel_size - 1) for d in stage_dil)
     skip_ch = skip_channels or res_channels
+
+    if skip_mode not in ("sum", "collect"):
+        raise ValueError(f"skip_mode must be 'sum' or 'collect', got {skip_mode!r}")
+    if local_skip_mask is None:
+        local_skip_mask = [True] * bps
+    if len(local_skip_mask) != bps:
+        raise ValueError(f"local_skip_mask has {len(local_skip_mask)} entries, expected blocks_per_stage={bps}")
+    used_local = [j for j, m in enumerate(local_skip_mask) if m]
+    k_used = len(used_local)
+    if skip_mode == "collect" and k_used == 0:
+        raise ValueError("collect mode needs at least one True local_skip_mask entry")
 
     blocks = [
         Conv1dResidualGLU(
@@ -171,24 +196,33 @@ def make_pipelined_stack(
             kernel_size=kernel_size,
             dilation=d,
             dtype=dtype,
+            need_skip=need,
         )
-        for d in stage_dil
+        for d, need in zip(stage_dil, local_skip_mask)
     ]
 
     def stage_fn(sp, buf, skip_size):
         """Apply this stage's blocks on the fixed-width buffer; return the
-        re-aligned buffer and the stage's f32 skip sum (block order)."""
+        re-aligned buffer and the stage's skips — the f32 block-order sum
+        ("sum") or the stacked masked skips in compute dtype ("collect")."""
         skip_acc = None
+        collected = []
         for j, (block, d) in enumerate(zip(blocks, stage_dil)):
             bp = sp[f"block_{j}"]
             o, s_ = block.apply({"params": bp}, buf, skip_size)
-            # VALID conv consumed d frames; left-pad back to the stage-invariant
-            # width (the pad frames mirror what the shrinking form dropped and
-            # are never read by a valid output — module docstring)
-            buf = jnp.pad(o, ((0, 0), (d, 0), (0, 0)))
-            s32 = at_least_f32(s_)
-            skip_acc = s32 if skip_acc is None else skip_acc + s32
-        return buf, skip_acc
+            # the VALID conv consumed d·(k-1) frames; left-pad back to the
+            # stage-invariant width (the pad frames mirror what the shrinking
+            # form dropped and are never read by a valid output — module
+            # docstring)
+            buf = jnp.pad(o, ((0, 0), (d * (kernel_size - 1), 0), (0, 0)))
+            if skip_mode == "sum":
+                s32 = at_least_f32(s_)
+                skip_acc = s32 if skip_acc is None else skip_acc + s32
+            elif s_ is not None:
+                collected.append(s_)
+        if skip_mode == "sum":
+            return buf, skip_acc
+        return buf, jnp.stack(collected)  # (k_used, Bm, skip, C) compute dtype
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
@@ -205,7 +239,12 @@ def make_pipelined_stack(
 
         buf0 = jnp.zeros((Bm, T_buf, res_channels), h_local.dtype)
         # +1 trash slot: drain-phase ticks with no valid microbatch write there
-        skips0 = jnp.zeros((n_micro + 1, Bm, skip_size, skip_ch), jnp.float32)
+        if skip_mode == "sum":
+            skips0 = jnp.zeros((n_micro + 1, Bm, skip_size, skip_ch), jnp.float32)
+        else:
+            skips0 = jnp.zeros(
+                (n_micro + 1, k_used, Bm, skip_size, skip_ch), dtype or h_local.dtype
+            )
 
         def tick(carry, t):
             buf, skips = carry
@@ -224,10 +263,27 @@ def make_pipelined_stack(
             return (buf, skips), None
 
         (_, skips), _ = jax.lax.scan(tick, (buf0, skips0), jnp.arange(n_micro + n_stages - 1))
-        # fold the per-stage skip partials into the global skip sum; also
-        # makes the output pipe-replicated so the head runs data-parallel
-        total = jax.lax.psum(skips[:n_micro], PIPE_AXIS)  # (M, Bm, skip, S)
-        return total.reshape(n_micro * Bm, skip_size, skip_ch)
+        if skip_mode == "sum":
+            # fold the per-stage skip partials into the global skip sum; also
+            # makes the output pipe-replicated so the head runs data-parallel
+            total = jax.lax.psum(skips[:n_micro], PIPE_AXIS)  # (M, Bm, skip, S)
+            return total.reshape(n_micro * Bm, skip_size, skip_ch)
+        # collect: each stage holds its own k_used skips — all-gather them so
+        # the (replicated) latent hierarchy can read every level's skip
+        gathered = jax.lax.all_gather(
+            skips[:n_micro], PIPE_AXIS, axis=0, tiled=False
+        )  # (n_stages, M, k_used, Bm, skip, S)
+        return [
+            gathered[s, :, i].reshape(n_micro * Bm, skip_size, skip_ch)
+            for s in range(n_stages)
+            for i in range(k_used)
+        ]
+
+    out_specs = (
+        P(DATA_AXIS, None, None)
+        if skip_mode == "sum"
+        else [P(DATA_AXIS, None, None)] * (n_stages * k_used)
+    )
 
     def pipelined(stage_params, h):
         specs = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), stage_params)
@@ -235,7 +291,7 @@ def make_pipelined_stack(
             body,
             mesh=mesh,
             in_specs=(specs, P(DATA_AXIS, None, None)),
-            out_specs=P(DATA_AXIS, None, None),
+            out_specs=out_specs,
             check_vma=False,
         )(stage_params, h)
 
@@ -337,6 +393,131 @@ class WaveNetPipelineAdapter:
             log_prob = log_prob_twise.reshape(y.shape[0], -1).sum(axis=1)
             loss = -log_prob.sum() / x_sl.sum()
             mets = dict(loss=loss, log_prob=log_prob, x_sl=x_sl)
+            return loss, (mets, None)
+
+        return loss_fn
+
+
+class STCNPipelineAdapter:
+    """Pipeline-parallel adapter for STCN — the second conv family, and the
+    most HBM-capacity-bound one (NOTES.md roofline: 13 GB temp alloc of
+    16 GB at the flagship B=8 step forces XLA spills; gradient accumulation
+    buys 2.2x back, and depth-sharding the encoder is the remaining lever).
+
+    The encoder ``ResidualStack`` (reference ``blvm/models/stcn/stcn.py:
+    152-218``) runs through the GPipe engine in ``skip_mode="collect"``:
+    stages return the individual every-n-th skips STCN's hierarchical
+    ``infer`` consumes instead of WaveNet's skip sum. Everything downstream —
+    latent hierarchy, decode stack, likelihood, loss, metrics — is the
+    model's own ``finish_from_skips`` method applied on the canonical
+    submodule scopes, so the math (and the ``sample`` rng sequence) is
+    identical to the monolithic forward.
+
+    Constraints: ``n_stages`` must divide ``n_stacks`` (whole-stack stages,
+    like WaveNet) and blocks-per-stage must be a multiple of ``n_latents``
+    so every stage owns the same local skip offsets (one SPMD program). The
+    flagship 5-layer x 5-stack x 5-latent STCN pipelines at pipe=5 with zero
+    waste; configs with more blocks than ``n_latents^2`` compute a few
+    trailing skips the hierarchy never reads (they are dead in the
+    monolithic forward too — ``skip_mask`` there, engine superset here).
+    """
+
+    def __init__(self, model, n_stages: int, n_micro: int):
+        self.model = model
+        self.n_stages = int(n_stages)
+        self.n_micro = int(n_micro)
+        self.rules = PIPELINE_PP_RULES
+        n = len(model.latent_size)
+        n_stacks = model.n_stacks or n
+        n_blocks = model.n_layers * n_stacks
+        if n_stacks % self.n_stages != 0:
+            raise ValueError(f"n_stages={n_stages} must divide n_stacks={n_stacks}")
+        bps = n_blocks // self.n_stages
+        if bps % n != 0:
+            raise ValueError(
+                f"blocks per stage ({bps}) must be a multiple of n_latents ({n}) so every "
+                "stage owns the same local skip offsets (one SPMD stage program)"
+            )
+
+    def to_pipeline(self, params):
+        return to_pipeline_params(params, self.n_stages)
+
+    def from_pipeline(self, params):
+        return from_pipeline_params(params, self.n_stages)
+
+    def make_loss_fn(self, mesh: Mesh):
+        from blvm_tpu.models.stcn.stcn import STCN
+        from blvm_tpu.models.wavenet.modules import CausalConv1d, Conv1d
+        from blvm_tpu.ops.sequence import stack_tensor
+
+        model = self.model
+        n = len(model.latent_size)
+        n_stacks = model.n_stacks or n
+        n_blocks = model.n_layers * n_stacks
+        bps = n_blocks // self.n_stages
+        nsf = model.n_stack_frames
+        rf = model.receptive_field
+        dtype = jnp.bfloat16 if model.bf16 else None
+        causal = CausalConv1d(features=model.res_channels, kernel_size=model.kernel_size)
+        in_conv = Conv1d(features=model.res_channels, kernel_size=1, dtype=dtype)
+        # stage-local mask: every n-th block's skip feeds a latent level
+        # (global index g used iff g % n == n-1; bps % n == 0 makes the local
+        # pattern identical across stages)
+        local_mask = [(j % n) == n - 1 for j in range(bps)]
+        used_globals = list(range(n - 1, n_blocks, n))[:n]  # infer reads the first n
+
+        pipelined = make_pipelined_stack(
+            n_layers=model.n_layers,
+            n_stacks=n_stacks,
+            res_channels=model.res_channels,
+            skip_channels=None,
+            gate_channels=None,
+            kernel_size=model.kernel_size,
+            base_dilation=model.base_dilation,
+            dtype=dtype,
+            n_stages=self.n_stages,
+            n_micro=self.n_micro,
+            mesh=mesh,
+            skip_mode="collect",
+            local_skip_mask=local_mask,
+        )
+
+        def loss_fn(params, rng, batch, scalars):
+            x, x_sl = batch["x"], batch["x_sl"]
+            beta = scalars.get("beta", 1.0)
+            free_nats = scalars.get("free_nats", 0.0)
+            y = jax.lax.stop_gradient(x)
+            if nsf > 1:
+                x, p = stack_tensor(x, nsf, axis=1)
+            else:
+                p = 0
+            x = x[..., None] if x.ndim == 2 else x
+            y = y[..., None] if y.ndim == 2 else y
+            T = x.shape[1]
+            x = jnp.pad(x, ((0, 0), (rf, 0), (0, 0)))
+
+            out = causal.apply({"params": params["causal"]}, x, pad_causal=False)
+            h = in_conv.apply({"params": params["res_stack"]["Conv1d_0"]}, out)
+            collected = pipelined(params["res_stack"]["stages"], h)  # ascending global order
+            skips = [None] * n_blocks
+            for g, s_ in zip([g for g in range(n_blocks) if (g % n) == n - 1], collected):
+                if g in used_globals:
+                    skips[g] = s_
+            # latent hierarchy + decode + loss: the model's own method on the
+            # canonical submodule scopes (res_stack params go unused — flax
+            # only resolves the scopes the method touches)
+            loss, mets, _ = model.apply(
+                {"params": params},
+                skips,
+                y,
+                x_sl,
+                T,
+                p,
+                free_nats,
+                beta,
+                method=STCN.finish_from_skips,
+                rngs={"sample": rng},
+            )
             return loss, (mets, None)
 
         return loss_fn

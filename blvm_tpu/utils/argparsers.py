@@ -121,8 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="pipeline-parallel mesh axis size: the conv residual stack is cut into this many "
         "stages of whole dilation stacks (must divide n_stacks) and microbatches stream through "
-        "them GPipe-style (WaveNet only; see parallel/pipeline_parallel.py). Shards the DEPTH "
-        "axis of activations and optimizer memory",
+        "them GPipe-style (WaveNet and STCN; see parallel/pipeline_parallel.py). Shards the "
+        "DEPTH axis of activations and optimizer memory",
     )
     mesh_group.add_argument(
         "--pipeline_microbatches",

@@ -302,7 +302,9 @@ def run_audio_training(
     pp_adapter = None
     if pipe_axis_size > 1:
         if pp_adapter_factory is None:
-            raise ValueError("--pipeline_axis_size > 1 is only supported by the WaveNet experiment")
+            raise ValueError(
+                "--pipeline_axis_size > 1 is only supported by the conv-stack experiments (WaveNet, STCN)"
+            )
         if model_axis_size > 1 or seq_axis_size > 1:
             raise ValueError("--pipeline_axis_size does not compose with --model_axis_size/--seq_axis_size yet")
         if int(getattr(args, "accum_steps", 1) or 1) > 1:
@@ -422,6 +424,12 @@ def run_audio_training(
         state = state.replace(params=params_r)
         if opt_state_r is not None:
             state = state.replace(opt_state=opt_state_r)
+        elif pp_adapter is not None:
+            LOGGER.warning(
+                "optimizer state not restored — when resuming a pipelined run, "
+                "--pipeline_axis_size must match the saved run's value (the Adam "
+                "moments are stored over the stage-stacked layout)"
+            )
         if meta.get("step") is not None:
             state = state.replace(step=int(meta["step"]))
         start_epoch = int(meta.get("epoch") or 0)

@@ -87,7 +87,7 @@ def run(args):
         )
         return loss, (mets, outputs)
 
-    from blvm_tpu.parallel import STCN_TP_RULES
+    from blvm_tpu.parallel import STCN_TP_RULES, STCNPipelineAdapter
 
     # chunked evaluation with receptive-field overlap (first chunk rf-padded;
     # the reference STCN cannot split-eval at all — stcn.py:328)
@@ -100,6 +100,12 @@ def run(args):
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
         tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval, seq_parallel_ok=True,
         post_eval_hook=post_eval_hook,
+        # --pipeline_axis_size N: GPipe the encoder stack over a pipe mesh axis
+        # (collect mode — stages hand the every-n-th skips to the latent
+        # hierarchy; the most HBM-capacity-bound family, NOTES.md roofline)
+        pp_adapter_factory=lambda n_stages, n_micro: STCNPipelineAdapter(
+            model, n_stages=n_stages, n_micro=n_micro
+        ),
     )
 
 

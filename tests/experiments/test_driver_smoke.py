@@ -482,6 +482,39 @@ class TestSTCNDriver:
         generated = list((run_dir / "audio").glob("epoch*_generated_*.wav"))
         assert len(generated) == 2
 
+    def test_pipeline_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--pipeline_axis_size 2 trains STCN over a (data=2, pipe=2) mesh:
+        the collect-mode engine hands the every-n-th skips to the latent
+        hierarchy; metrics (incl. per-layer KLs) flow as usual."""
+        run_dir = tmp_path / "run_stcn_pp"
+        argv = [
+            "experiment_stcn_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            # 8 blocks, bps=4 at pipe=2, n_latents=2 — bps % n == 0 holds
+            "--num_layers", "4",
+            "--num_stacks", "2",
+            "--latent_size", "8", "4",
+            "--hidden_size", "16",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--pipeline_axis_size", "2",
+            "--pipeline_microbatches", "2",
+            "--run_dir", str(run_dir),
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_stcn_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_train"]["loss"])
+        assert "elbo (bpx)" in lines[0]["synthetic_test"]
+        assert "kl_0 (bpz)" in lines[0]["synthetic_test"]
+
 
 class TestDistributionBaseline:
     def test_runs(self, synthetic_dataset, monkeypatch, capsys):

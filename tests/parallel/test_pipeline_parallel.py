@@ -14,9 +14,10 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 from jax.sharding import PartitionSpec as P
 
-from blvm_tpu.models import WaveNet
+from blvm_tpu.models import STCN, WaveNet
 from blvm_tpu.parallel import (
     PIPELINE_PP_RULES,
+    STCNPipelineAdapter,
     WaveNetPipelineAdapter,
     from_pipeline_params,
     make_mesh,
@@ -185,6 +186,25 @@ class TestPipelinedForwardEquivalence:
             np.asarray(mets_p["log_prob"]), np.asarray(mets_s["log_prob"]), rtol=1e-5
         )
 
+    def test_kernel_size_3(self):
+        """k=3 pins the generic d*(k-1) frame-consumption geometry (the k=2
+        fast path lowers convs as tap dots; k=3 runs the real dilated conv)."""
+        model = WaveNet(n_layers=2, n_stacks=2, res_channels=16, num_mix=2, kernel_size=3)
+        B, T = 8, 128
+        x, x_sl = make_batch(B, T, seed=3)
+        params = init_params(model, x, x_sl)
+        loss_s = float(
+            jax.jit(
+                lambda p: model.apply({"params": p}, x, x_sl, rngs={"sample": jax.random.PRNGKey(0)})[0]
+            )(params)
+        )
+        mesh = make_mesh(4, pipe_axis_size=2)
+        adapter = WaveNetPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, _ = jax.jit(loss_fn)(adapter.to_pipeline(params), jax.random.PRNGKey(0), batch, {})
+        np.testing.assert_allclose(float(loss_p), loss_s, rtol=1e-6)
+
     def test_validation(self):
         model = WaveNet(n_layers=3, n_stacks=2, res_channels=16, num_mix=3)
         # stages must divide stacks
@@ -199,6 +219,105 @@ class TestPipelinedForwardEquivalence:
         emb = WaveNet(n_layers=3, n_stacks=2, res_channels=16, embedding_dim=4, likelihood="categorical")
         with pytest.raises(ValueError):
             WaveNetPipelineAdapter(emb, n_stages=2, n_micro=2)
+
+
+class TestSTCNPipeline:
+    """STCN runs the engine in skip_mode='collect': stages hand the every-n-th
+    skips to the (replicated) latent hierarchy via finish_from_skips. The
+    rng-dependent terms (rsampled z, KLs) must match the monolithic forward
+    exactly — same module scopes, same 'sample' stream."""
+
+    def _model(self):
+        # 8 blocks, bps=4 at pipe=2, n_latents=2 — bps % n == 0 holds
+        return STCN(n_layers=4, latent_size=(8, 4), n_stacks=2, res_channels=16)
+
+    @pytest.mark.parametrize("n_micro", [1, 2])
+    def test_loss_and_mets_match_standard(self, n_micro):
+        model = self._model()
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T)
+        params = init_params(model, x, x_sl)
+        loss_s, mets_s, _ = jax.jit(
+            lambda p: model.apply(
+                {"params": p}, x, x_sl, beta=0.7, free_nats=0.1, rngs={"sample": jax.random.PRNGKey(0)}
+            )
+        )(params)
+
+        mesh = make_mesh(4, pipe_axis_size=2)
+        adapter = STCNPipelineAdapter(model, n_stages=2, n_micro=n_micro)
+        loss_fn = adapter.make_loss_fn(mesh)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, (mets_p, _) = jax.jit(loss_fn)(
+            adapter.to_pipeline(params), jax.random.PRNGKey(0), batch, {"beta": 0.7, "free_nats": 0.1}
+        )
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mets_p["log_prob"]), np.asarray(mets_s["log_prob"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(mets_p["kld"]), np.asarray(mets_s["kld"]), rtol=1e-5)
+
+    def test_grads_match_standard(self):
+        model = self._model()
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T)
+        params = init_params(model, x, x_sl)
+        mesh = make_mesh(4, pipe_axis_size=2)
+        adapter = STCNPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        g_p = jax.jit(jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(0), batch, {})[0]))(
+            adapter.to_pipeline(params)
+        )
+        g_s = jax.jit(
+            jax.grad(
+                lambda p: model.apply({"params": p}, x, x_sl, rngs={"sample": jax.random.PRNGKey(0)})[0]
+            )
+        )(params)
+        fp, fs = flat(from_pipeline_params(g_p, 2)), flat(g_s)
+        assert fp.keys() == fs.keys()
+        for k in fs:
+            np.testing.assert_allclose(
+                np.asarray(fp[k]), np.asarray(fs[k]), rtol=2e-5, atol=1e-7, err_msg=k
+            )
+
+    def test_train_step_matches_single_device(self):
+        model = self._model()
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T, ragged=False)
+        params = init_params(model, x, x_sl)
+
+        def std_stcn_loss(params, rng, batch, scalars):
+            loss, mets, _ = model.apply(
+                {"params": params}, batch["x"], batch["x_sl"], rngs={"sample": rng}
+            )
+            return loss, (mets, None)
+
+        mesh1 = make_mesh(1)
+        state1 = make_state(model, params)
+        step1 = make_train_step(std_stcn_loss, mesh=mesh1, donate=False)
+
+        mesh = make_mesh(4, pipe_axis_size=2)
+        adapter = STCNPipelineAdapter(model, n_stages=2, n_micro=2)
+        state_p = shard_train_state(
+            make_state(model, adapter.to_pipeline(params)), mesh, PIPELINE_PP_RULES
+        )
+        step_p = make_train_step(adapter.make_loss_fn(mesh), mesh=mesh, donate=False)
+        batch_p = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        for _ in range(2):
+            state1, mets1 = step1(state1, {"x": x, "x_sl": x_sl}, {})
+            state_p, mets_p = step_p(state_p, batch_p, {})
+            np.testing.assert_allclose(float(mets_p["loss"]), float(mets1["loss"]), rtol=1e-5)
+        fa = flat(state1.params)
+        fb = flat(adapter.from_pipeline(jax.device_get(state_p.params)))
+        for k in fa:
+            np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]), atol=2e-5, err_msg=k)
+
+    def test_validation(self):
+        # bps must be a multiple of n_latents: 6 blocks / 2 stages = 3, n=2
+        bad = STCN(n_layers=3, latent_size=(8, 4), n_stacks=2, res_channels=16)
+        with pytest.raises(ValueError):
+            STCNPipelineAdapter(bad, n_stages=2, n_micro=2)
+        # stages must divide stacks
+        with pytest.raises(ValueError):
+            STCNPipelineAdapter(self._model(), n_stages=4, n_micro=2)
 
 
 class TestPPTrainStep:
