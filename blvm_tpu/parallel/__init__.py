@@ -14,6 +14,11 @@ from blvm_tpu.parallel.mesh import (
     shard_batch,
     shard_examples_by_process,
 )
+from blvm_tpu.parallel.fsdp import (
+    DEFAULT_MIN_LEAF_ELEMS,
+    fsdp_shardings,
+    shard_train_state_fsdp,
+)
 from blvm_tpu.parallel.tensor_parallel import (
     RESIDUAL_GLU_TP_RULES,
     STCN_TP_RULES,

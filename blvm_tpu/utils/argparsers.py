@@ -132,6 +132,21 @@ def build_parser() -> argparse.ArgumentParser:
         "the batch size must be divisible by it)",
     )
     mesh_group.add_argument(
+        "--fsdp",
+        type=str2bool,
+        default=False,
+        help="fully-sharded data parallelism (ZeRO-3): shard parameters AND Adam moments over the "
+        "data axis instead of replicating them (per-device state memory scales 1/data_axis; GSPMD "
+        "all-gathers params on use and reduce-scatters gradients). Composes with --model_axis_size",
+    )
+    mesh_group.add_argument(
+        "--fsdp_min_size",
+        type=int,
+        default=None,
+        help="leaves with fewer elements than this stay replicated under --fsdp "
+        "(default 16384: gathering tiny biases costs more latency than replication costs HBM)",
+    )
+    mesh_group.add_argument(
         "--dist_coordinator",
         type=str,
         default=None,

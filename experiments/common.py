@@ -435,7 +435,23 @@ def run_audio_training(
         start_epoch = int(meta.get("epoch") or 0)
         LOGGER.info(f"Resumed from {resume_dir}: epoch {start_epoch}, step {int(state.step)}")
 
-    if model_axis_size > 1:
+    if getattr(args, "fsdp", False):
+        # FSDP (ZeRO-3): params + Adam moments shard over the data axis,
+        # composed with the tensor-parallel rules when tp is also active
+        # (parallel/fsdp.py). GSPMD all-gathers params on use and
+        # reduce-scatters gradients; per-device state memory scales 1/dp.
+        from blvm_tpu.parallel import DEFAULT_MIN_LEAF_ELEMS, shard_train_state_fsdp
+
+        if pp_adapter is not None:
+            raise ValueError("--fsdp does not compose with --pipeline_axis_size (the pipe axis already shards the state)")
+        min_size = getattr(args, "fsdp_min_size", None)
+        state = shard_train_state_fsdp(
+            state,
+            mesh,
+            tp_rules=tp_rules if model_axis_size > 1 else None,
+            min_leaf_elems=DEFAULT_MIN_LEAF_ELEMS if min_size is None else int(min_size),
+        )
+    elif model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
     if pp_adapter is not None:
         from blvm_tpu.parallel import PIPELINE_PP_RULES
