@@ -23,11 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from blvm_tpu.models.wavenet.modules import Conv1d, conv_kernel_init
+from blvm_tpu.modules.convolutions import depthwise_conv1d, depthwise_conv_transpose1d
 from blvm_tpu.ops.conv_arithmetic import compute_conv_attributes_single
 
 
 def conv_transpose1d(x, kernel, stride: int, dilation: int = 1, feature_group_count: int = 1):
-    """ConvTranspose1d via lhs-dilation: (B, T, Cin) @ (k, Cin/g, Cout)."""
+    """ConvTranspose1d via lhs-dilation: (B, T, Cin) @ (k, Cin/g, Cout).
+
+    The depthwise case (``feature_group_count == C``) routes through the
+    shift-mul form (``modules/convolutions.py:depthwise_conv_transpose1d``):
+    grouped convs never touch the MXU anyway, and jax 0.9.0's SPMD partitioner
+    miscompiles their kernel gradient on multi-axis meshes (pinned repro in
+    ``tests/modules/test_depthwise_spmd.py``)."""
+    if feature_group_count > 1 and feature_group_count == x.shape[-1]:
+        return depthwise_conv_transpose1d(x, kernel, stride=stride, padding=0, dilation=dilation)
     k = kernel.shape[0]
     pad = dilation * (k - 1)
     return jax.lax.conv_general_dilated(
@@ -69,15 +78,9 @@ class _DepthwiseSeparable(nn.Module):
         if self.transposed:
             y = conv_transpose1d(x, kernel, self.stride, self.dilation, feature_group_count=C)
         else:
-            y = jax.lax.conv_general_dilated(
-                x,
-                kernel,
-                window_strides=(self.stride,),
-                padding="VALID",
-                rhs_dilation=(self.dilation,),
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=C,
-            )
+            # shift-mul depthwise (VALID) — see conv_transpose1d on why the
+            # grouped-conv form is avoided
+            y = depthwise_conv1d(x, kernel, stride=self.stride, dilation=self.dilation)
         y = y + bias
         y = nn.relu(y)
         y = nn.GroupNorm(num_groups=C, epsilon=1e-5)(y)
