@@ -112,7 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1,
         help="sequence-parallel mesh axis size: batches shard their TIME axis over it "
-        "(conv families only — WaveNet/STCN; GSPMD inserts dilated-conv halo exchanges "
+        "(conv families only — WaveNet/STCN/CWVAE; GSPMD inserts dilated-conv halo exchanges "
         "over ICI). Scales max trainable sequence length beyond one chip's HBM",
     )
     mesh_group.add_argument(

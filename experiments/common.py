@@ -281,9 +281,9 @@ def run_audio_training(
     seq_axis_size = getattr(args, "seq_axis_size", 1) or 1
     if seq_axis_size > 1 and not seq_parallel_ok:
         # recurrent scan cores consume time sequentially — sharding T would
-        # just make GSPMD gather it back every scan step. Conv families
-        # (WaveNet/STCN) opt in.
-        raise ValueError("--seq_axis_size > 1 is only supported by the conv experiments (WaveNet, STCN)")
+        # just make GSPMD gather it back every scan step. Families whose
+        # full-T compute is convolutional (WaveNet/STCN/CWVAE) opt in.
+        raise ValueError("--seq_axis_size > 1 is only supported by the conv experiments (WaveNet, STCN, CWVAE)")
     if seq_axis_size > 1 and getattr(args, "split_eval", False) and state_carry_eval is not None:
         LOGGER.warning("sequence parallelism: --split_eval unsupported, falling back to whole-sequence eval")
         state_carry_eval = None

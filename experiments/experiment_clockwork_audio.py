@@ -150,6 +150,10 @@ def main():
         script_name="clockwork_audio",
         state_carry_eval=state_carry_eval,
         post_eval_hook=post_eval_hook,
+        # the conv coders carry the full-T activations and shard their time
+        # axis over the seq mesh axis; the tiny post-encoder latent sequence
+        # is gathered before the RSSM scans (tests/parallel)
+        seq_parallel_ok=True,
         iw_kwargs=dict(pad_strideable=True),
     )
 

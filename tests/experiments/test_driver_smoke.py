@@ -458,6 +458,38 @@ class TestClockworkDriver:
         # generated audio logged (reference experiment_clockwork_audio.py:275)
         assert list((run_dir / "audio").glob("*generated*.wav"))
 
+    def test_sequence_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--seq_axis_size 2 trains CWVAE over a (data=2, seq=2) mesh: the
+        conv coders shard their time axis, the tiny latent sequence gathers
+        before the RSSM scans (enabled by the shift-mul depthwise lowering)."""
+        run_dir = tmp_path / "run_cw_sp"
+        argv = [
+            "experiment_clockwork_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--hidden_size", "16",
+            "--latent_size", "8",
+            "--strides", "16", "4",
+            "--num_level_layers", "2",
+            "--stride_per_layer", "4",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--seq_axis_size", "2",
+            "--run_dir", str(run_dir),
+            "--save_checkpoints", "false",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_clockwork_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[0]["synthetic_train"]["loss"])
+        assert "elbo (bpt)" in lines[0]["synthetic_test"]
+
 
 class TestSRNNDriver:
     def test_end_to_end(self, synthetic_dataset, tmp_path, monkeypatch):

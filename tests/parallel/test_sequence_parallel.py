@@ -32,11 +32,11 @@ from blvm_tpu.parallel import (
 from blvm_tpu.training import TrainState, get_optimizer
 
 
-def make_state(model, x, x_sl):
+def make_state(model, x, x_sl, optimizer="Adam"):
     variables = jax.jit(
         lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(1)}, x, x_sl)
     )(jax.random.PRNGKey(0))
-    tx = get_optimizer("Adam", 1e-3)
+    tx = get_optimizer(optimizer, 1e-3)
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx, rng=jax.random.PRNGKey(2)
     )
@@ -164,6 +164,47 @@ class TestSPTrainStepEquivalence:
     def test_stcn_dp_sp_matches_single_device(self):
         model = STCN(n_layers=2, latent_size=(8, 4), res_channels=16)
         self._run_pair(model, STCN_TP_RULES, B=4, T=256, sp_kwargs=dict(seq_axis_size=4))
+
+    def test_cwvae_dp_sp_matches_single_device(self):
+        """CWVAE: the conv coders carry the full-T activations (the HBM
+        load) — GSPMD shards them over the seq axis; the tiny post-encoder
+        latent sequence (T/prod(strides)) is gathered before the RSSM scans,
+        which is cheap by construction. Enabled by the shift-mul depthwise
+        lowering (the grouped-conv form miscompiles kernel grads under
+        multi-axis sharding — modules/convolutions.py, pinned in
+        tests/modules/test_depthwise_spmd.py).
+
+        Uses SGD rather than the harness's Adam: GroupNorm reduces over the
+        sharded time axis, so per-position values reassociate at float
+        epsilon; Adam's g/sqrt(nu) normalization turns sub-ulp noise on
+        near-zero gradients into O(lr) parameter flips, while SGD keeps the
+        comparison linear in the noise. Loss is compared strictly either way.
+        """
+        from blvm_tpu.models import CWVAEAudio
+
+        model = CWVAEAudio(
+            z_size=4, h_size=8, strides=(4, 2), num_level_layers=2, stride_per_layer=2,
+            likelihood="DMoL", num_mix=2,
+        )
+        B, T = 4, 256
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (B, T)), jnp.float32)
+        x_sl = jnp.asarray([T, T, T - 7, T - 31], jnp.int32)
+        loss_fn = make_loss_fn(model)
+
+        mesh1 = make_mesh(1)
+        state1 = make_state(model, x, x_sl, optimizer="SGD")
+        step1 = make_train_step(loss_fn, mesh=mesh1, donate=False)
+        new1, mets1 = step1(state1, {"x": x, "x_sl": x_sl}, {})
+
+        mesh = make_mesh(8, seq_axis_size=4)
+        state = make_state(model, x, x_sl, optimizer="SGD")
+        step = make_train_step(loss_fn, mesh=mesh, donate=False)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        assert batch["x"].sharding.spec[1] == "seq"
+        new8, mets8 = step(state, batch, {})
+
+        np.testing.assert_allclose(float(mets1["loss"]), float(mets8["loss"]), rtol=1e-5)
+        assert_params_close(new1, new8, atol=2e-5)
 
     def test_accum_dp_sp_matches_single_device(self):
         """Gradient accumulation (microbatch scan) composes with the seq axis."""
