@@ -118,6 +118,56 @@ class LSTMAudio(BaseModel):
             BitsPerDimMetric(log_prob, reduce_by=mets["x_sl"]),
         ]
 
+    def generate(
+        self,
+        n_samples: int = 1,
+        max_timesteps: int = 100,
+        use_mode: bool = False,
+        x: Optional[jnp.ndarray] = None,
+        s_0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """Ancestral rollout: embed the current frame-stack, one LSTM step,
+        decode DMoL parameters for the next stack, sample it, feed it back —
+        one ``lax.scan`` over stacks.
+
+        Capability ADDED over the reference, whose ``LSTMAudio.generate``
+        raises ``NotImplementedError`` (``blvm/models/lstm.py:133-135``).
+        ``max_timesteps`` counts stacks (like VRNN/SRNN); the waveform output
+        is ``max_timesteps * stack_size`` frames. ``x`` optionally primes the
+        rollout with one (B, stack_size) seed stack (zeros = silence prime,
+        the natural µ-law origin).
+        """
+        S = self.stack_size
+        if x is None:
+            x = jnp.zeros((n_samples, S), jnp.float32)
+        elif x.shape[0] == 1 and n_samples > 1:
+            x = jnp.repeat(x, n_samples, axis=0)
+        B = x.shape[0]
+
+        if s_0 is None:
+            s_0 = (
+                jnp.zeros((self.num_layers, B, self.hidden_size), jnp.float32),
+                jnp.zeros((self.num_layers, B, self.hidden_size), jnp.float32),
+            )
+        key = self.make_rng("sample")
+
+        def body(mdl, carry, step_key):
+            x_in, s_in = carry
+            e = mdl.embedding(x_in)  # (B, H)
+            h, s_new = mdl.lstm(e[:, None, :], initial_state=s_in)
+            h = at_least_f32(h)
+            o = mdl.decoder(h).reshape(B, S, 3 * mdl.num_mix)
+            params = mdl.likelihood(o)
+            x_next = mdl.likelihood.mode(params) if use_mode else mdl.likelihood.rsample(step_key, params)
+            x_next = x_next.reshape(B, S)
+            return (x_next, s_new), x_next
+
+        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=0, out_axes=0)
+        (_, _), stacks = scan(self, (x, s_0), jax.random.split(key, max_timesteps))
+        x_out = jnp.moveaxis(stacks, 0, 1).reshape(B, -1)  # (B, T'*S)
+        x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)
+        return (x_out, x_sl), SimpleNamespace()
+
     def split_sequence_args(self):
         """Chunk geometry for chunked eval: no overlap, strideable by stack."""
         return dict(overlap=0, mode="consume")

@@ -11,7 +11,7 @@ from blvm_tpu.models import LSTMAudio
 from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 
-from common import build_audio_pipeline, run_audio_training
+from common import build_audio_pipeline, make_generation_hook, run_audio_training
 
 
 def build_args():
@@ -35,6 +35,9 @@ def build_args():
     model_group.add_argument("--likelihood", default="DMoL", type=str)
     model_group.add_argument("--random_segment_size", default=None, type=int)
     model_group.add_argument("--split_eval", default=False, type=str2bool)
+    model_group.add_argument("--generate_every", default=25, type=int)
+    model_group.add_argument("--generate_frames", default=16000, type=int,
+                             help="waveform frames per generated eval clip (0 disables)")
     return parser.parse_args()
 
 
@@ -81,8 +84,17 @@ def main():
             mets, s0 = eval_chunk(params, rng, jnp.asarray(xs), jnp.asarray(sl), s0)
             tracker.update(model.build_metrics(jax.device_get(mets)), source=source)
 
+    # generated audio every --generate_every eval epochs (reference LSTMAudio
+    # cannot generate — its generate raises NotImplementedError, lstm.py:133-135)
+    post_eval_hook = None
+    if args.generate_frames > 0:
+        post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames // args.stack_size)
+
     pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
-    run_audio_training(args, model, pipeline, loss_fn, script_name="lstm_audio", state_carry_eval=state_carry_eval)
+    run_audio_training(
+        args, model, pipeline, loss_fn, script_name="lstm_audio",
+        state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
+    )
 
 
 if __name__ == "__main__":

@@ -85,10 +85,17 @@ class TestLSTMDriver:
             "--n_devices", "2",
             "--run_dir", str(run_dir),
             "--save_checkpoints", "false",
+            # generated audio each eval (capability over the reference, whose
+            # LSTMAudio.generate raises NotImplementedError, lstm.py:133-135)
+            "--generate_every", "1",
+            "--generate_frames", "64",
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_lstm_audio")
         driver.main()
+
+        # generated audio logged
+        assert list((run_dir / "audio").glob("*generated*.wav"))
 
         # metrics.jsonl written with train + eval sources
         lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]

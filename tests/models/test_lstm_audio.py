@@ -154,3 +154,54 @@ class TestCheckpoint:
         loss1, _, _ = apply_model(small_model, init_params, x, x_sl)
         loss2, _, _ = apply_model(model2, params2, x, x_sl)
         np.testing.assert_allclose(loss1, loss2, rtol=1e-6)
+
+
+class TestGenerate:
+    """Ancestral generation (capability added over the reference, whose
+    ``LSTMAudio.generate`` raises NotImplementedError, ``lstm.py:133-135``)."""
+
+    def test_shapes_and_range(self, small_model, init_params):
+        (x, x_sl), _ = small_model.apply(
+            {"params": init_params},
+            n_samples=2,
+            max_timesteps=3,
+            rngs={"sample": jax.random.PRNGKey(0)},
+            method=LSTMAudio.generate,
+        )
+        assert x.shape == (2, 3 * 8)
+        assert np.all(np.asarray(x_sl) == 24)
+        x = np.asarray(x)
+        assert np.all(np.isfinite(x))
+        assert np.abs(x).max() <= 1.0 + 1e-6  # DMoL samples clamp to [-1, 1]
+        # the two samples must differ (independent per-step sample keys)
+        assert not np.allclose(x[0], x[1])
+
+    def test_mode_rollout_matches_forward_oracle(self, small_model, init_params):
+        """Each generated stack (use_mode) must equal the training forward's
+        DMoL mode at the same position when the generated prefix is teacher-
+        forced — pins the embed→LSTM-state→decode alignment of the rollout."""
+        S = small_model.stack_size
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(rng.uniform(-1, 1, (1, S)), jnp.float32)
+
+        (gen, _), _ = small_model.apply(
+            {"params": init_params},
+            n_samples=1,
+            max_timesteps=4,
+            use_mode=True,
+            x=x0,
+            rngs={"sample": jax.random.PRNGKey(0)},
+            method=LSTMAudio.generate,
+        )
+        gen = np.asarray(gen).reshape(1, 4, S)
+
+        seq = [np.asarray(x0)]
+        for t in range(4):
+            # append a dummy target stack so the forward scores the next-stack
+            # prediction conditioned on every stack generated so far
+            ctx = np.concatenate(seq + [np.zeros((1, S), np.float32)], axis=1)
+            sl = jnp.full((1,), ctx.shape[1], jnp.int32)
+            _, _, out = apply_model(small_model, init_params, jnp.asarray(ctx), sl)
+            nxt = np.asarray(out.reconstruction_mode)[:, -S:, 0]
+            np.testing.assert_allclose(gen[:, t], nxt, rtol=1e-5, atol=1e-5)
+            seq.append(nxt)
