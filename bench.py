@@ -511,6 +511,81 @@ def bench_generation(bf16, fast, n_frames):
     }
 
 
+def bench_multiseed(num_seeds, steps, bf16, family="vrnn"):
+    """Multi-seed sweep throughput on one chip (``--multiseed K``).
+
+    The reference sweeps seeds as INDEPENDENT serial processes per GPU
+    (``schedule_experiments.py``); ``parallel/multiseed.py`` vmaps K replicas
+    into one program (seed axis sharded over the mesh — on one chip, vmap
+    batches the K small recurrent matmuls onto the idle MXU). This measures
+    that claim falsifiably: per-step time of the K-seed step vs the
+    single-seed step, same family shape, same timing discipline
+    (device_get-closed, varying batches, two-length linearity check).
+    ``sweep_speedup_vs_serial`` = K * t_single / t_multiseed — the wall-clock
+    factor vs running the K-run sweep back-to-back on this chip.
+    """
+    from blvm_tpu.parallel import (
+        make_mesh,
+        make_multiseed_train_step,
+        make_train_step,
+        multiseed_train_state,
+    )
+    from blvm_tpu.training import TrainState, get_optimizer
+
+    mesh = make_mesh(1)
+    builder = FAMILIES[family]
+    model, loss_fn, batches, samples_per_step, dtype = builder(bf16)
+    first = batches[0]
+    tx = get_optimizer("Adam", 3e-4)
+
+    def make_state(k):
+        kp, kr = jax.random.split(k)
+        v = model.init({"params": kp, "sample": jax.random.PRNGKey(1)}, first["x"], first["x_sl"])
+        return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
+
+    def timed(step, state, n_steps, loss_to_float):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, mets = step(state, batches[i % len(batches)], {})
+        last = loss_to_float(jax.device_get(mets["loss"]))  # forces the chain
+        return state, (time.perf_counter() - t0) / n_steps, last
+
+    def measure(step, state, loss_to_float):
+        for i in range(2):  # two-step warmup (steady-state executable)
+            state, mets = step(state, batches[i % len(batches)], {})
+            loss_to_float(jax.device_get(mets["loss"]))
+        state, per_a, _ = timed(step, state, max(5, steps // 5), loss_to_float)
+        state, per_b, loss_last = timed(step, state, steps, loss_to_float)
+        linear = abs(per_a - per_b) <= 0.25 * max(per_a, per_b)
+        return per_b, linear, loss_last
+
+    # single seed (the serial-sweep unit)
+    state1 = jax.jit(make_state)(jax.random.PRNGKey(0))
+    step1 = make_train_step(loss_fn, mesh=mesh)
+    t1, linear1, _ = measure(step1, state1, float)
+
+    # K seeds in one program
+    keys = jax.random.split(jax.random.PRNGKey(0), num_seeds)
+    state_k = multiseed_train_state(make_state, keys, mesh)
+    step_k = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+    t_k, linear_k, loss_last = measure(step_k, state_k, lambda l: float(np.asarray(l).sum()))
+
+    aggregate = num_seeds * samples_per_step / t_k
+    return {
+        "metric": f"{family}_multiseed{num_seeds}_aggregate_samples_per_sec",
+        "value": round(aggregate, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(aggregate / BASELINE, 3),
+        "ms_per_step": round(t_k * 1e3, 3),
+        "single_seed_ms_per_step": round(t1 * 1e3, 3),
+        "sweep_speedup_vs_serial": round(num_seeds * t1 / t_k, 2),
+        "num_seeds": num_seeds,
+        "dtype": dtype,
+        "timing_linear": bool(linear1 and linear_k),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
+    }
+
+
 def bench_stcn_generation(bf16, n_frames):
     """STCN ancestral sampling throughput (flagship config, B=2 sequences) —
     capability ADDED over the reference (its ``STCN.generate`` raises
@@ -572,6 +647,9 @@ def main():
     parser.add_argument("--gen_frames", type=int, default=16000, help="with --generation: frames per sequence")
     parser.add_argument("--stcn_generation", action="store_true",
                         help="benchmark STCN ancestral sampling (capability added over the reference)")
+    parser.add_argument("--multiseed", type=int, default=None,
+                        help="benchmark a K-seed sweep in one program (parallel/multiseed.py) vs K serial "
+                        "single-seed runs; family from --families (default vrnn)")
     args = parser.parse_args()
 
     global REMAT, ACCUM, ACCUM_UNROLL, WN_B, WN_T, WN_S
@@ -596,6 +674,13 @@ def main():
 
     if args.stcn_generation:
         print(json.dumps(bench_stcn_generation(bf16, n_frames=args.gen_frames)))
+        return
+
+    if args.multiseed:
+        fam = (args.families.split(",")[0] if args.families else "vrnn").strip()
+        if fam not in FAMILIES:
+            parser.error(f"unknown family: {fam}")
+        print(json.dumps(bench_multiseed(args.multiseed, args.steps or 30, bf16, fam)))
         return
 
     if args.families:

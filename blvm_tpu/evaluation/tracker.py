@@ -252,8 +252,11 @@ class Tracker:
         self.end_time[self.source] = time_mod.time()
         self.telemetry[self.source] = self._telemetry[self.source].end()
         self.step_total[self.source] += self.step_within_epoch[self.source]
-        for name, metric in self.metrics[self.source].items():
-            self.accumulated_metrics[self.source][name].append(metric.copy())
+        # snapshot the active source plus any derived sources updated during
+        # this pass (multi-seed training logs per-seed as "<source>[s<i>]")
+        for src in [self.source] + [s for s in self.metrics if s.startswith(f"{self.source}[")]:
+            for name, metric in self.metrics[src].items():
+                self.accumulated_metrics[src][name].append(metric.copy())
         self.source = None
         self.printed_last = 0.0
 

@@ -34,4 +34,10 @@ from blvm_tpu.parallel.pipeline_parallel import (
     make_pipelined_stack,
     to_pipeline_params,
 )
+from blvm_tpu.parallel.multiseed import (
+    make_multiseed_eval_step,
+    make_multiseed_train_step,
+    multiseed_train_state,
+    slice_seed,
+)
 from blvm_tpu.parallel.train_step import make_eval_step, make_train_step

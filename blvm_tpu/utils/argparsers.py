@@ -147,6 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(default 16384: gathering tiny biases costs more latency than replication costs HBM)",
     )
     mesh_group.add_argument(
+        "--num_seeds",
+        type=int,
+        default=1,
+        help="train this many independent replicas (different init/rng seeds) in ONE program: "
+        "the seed axis is vmapped and sharded over the data axis (parallel/multiseed.py) — the "
+        "TPU-native form of the reference's schedule_experiments.py process-per-seed sweeps. "
+        "Must be a multiple of the data axis size; metrics log per seed as '<source>[s<i>]'",
+    )
+    mesh_group.add_argument(
         "--dist_coordinator",
         type=str,
         default=None,

@@ -44,6 +44,7 @@ from blvm_tpu.parallel import (
     maybe_initialize_distributed,
     shard_batch,
     shard_train_state,
+    slice_seed,
 )
 from blvm_tpu.parallel.mesh import DATA_AXIS
 from blvm_tpu.parallel.mesh import pad_batch_to_devices
@@ -313,6 +314,28 @@ def run_audio_training(
             LOGGER.warning("pipeline parallelism: --split_eval unsupported, falling back to whole-sequence eval")
             state_carry_eval = None
         pp_adapter = pp_adapter_factory(pipe_axis_size, int(getattr(args, "pipeline_microbatches", 4) or 1))
+    # --num_seeds N: N independent replicas vmapped over a seed axis that is
+    # sharded over the data axis (parallel/multiseed.py) — the one-program
+    # form of the reference's schedule_experiments.py process-per-seed sweep.
+    num_seeds = int(getattr(args, "num_seeds", 1) or 1)
+    if num_seeds > 1:
+        incompatible = {
+            "--model_axis_size": model_axis_size > 1,
+            "--seq_axis_size": seq_axis_size > 1,
+            "--pipeline_axis_size": pipe_axis_size > 1,
+            "--fsdp": bool(getattr(args, "fsdp", False)),
+            "--accum_steps": int(getattr(args, "accum_steps", 1) or 1) > 1,
+            "--eval_iw_samples": int(getattr(args, "eval_iw_samples", 0) or 0) > 0,
+            "--resume": bool(getattr(args, "resume", None)),
+            "--log_norms": bool(getattr(args, "log_norms", False)),
+            "multi-host": process_count > 1,
+        }
+        bad = [k for k, v in incompatible.items() if v]
+        if bad:
+            raise ValueError(f"--num_seeds > 1 does not compose with {', '.join(bad)}")
+        if getattr(args, "split_eval", False) and state_carry_eval is not None:
+            LOGGER.warning("multi-seed: --split_eval unsupported, falling back to whole-sequence eval")
+            state_carry_eval = None
     mesh = make_mesh(
         args.n_devices,
         model_axis_size=model_axis_size,
@@ -363,6 +386,12 @@ def run_audio_training(
         """Pad to the global mesh, then device-put: single-process via
         shard_batch; multi-host each process contributes its contiguous row
         block of the (identical, deterministically planned) global batch."""
+        if num_seeds > 1:
+            # every seed consumes the same batch — replicate instead of
+            # sharding (the SEED axis is what lives on the mesh)
+            from blvm_tpu.parallel import replicated_sharding
+
+            return jax.device_put({"x": jnp.asarray(x), "x_sl": jnp.asarray(x_sl)}, replicated_sharding(mesh))
         x, x_sl = pad_batch_to_devices(x, x_sl, batch_multiple)
         if process_count == 1:
             return shard_batch({"x": x, "x_sl": x_sl}, mesh)
@@ -380,13 +409,8 @@ def run_audio_training(
     # init inside jit: eager op-by-op initialization would trigger one device
     # compilation per op (catastrophic for the 50-layer conv stacks)
     x0_j, x0_sl_j = jnp.asarray(x0), jnp.asarray(x0_sl)
-    variables = jax.jit(
-        lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(0)}, x0_j, x0_sl_j)
-    )(params_key)
 
     from blvm_tpu.models.base import count_parameters
-
-    LOGGER.info(f"model parameters: {count_parameters(variables['params']):,}")
 
     lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs) if args.lr_scheduler else args.lr
     tx = get_optimizer(
@@ -397,11 +421,29 @@ def run_audio_training(
         skip_nonfinite_updates=getattr(args, "skip_nonfinite_updates", False),
         **args.optimizer_kwargs,
     )
-    init_params = variables["params"]
-    if pp_adapter is not None:
-        # training runs on the pipeline parameter layout (stage-stacked blocks)
-        init_params = pp_adapter.to_pipeline(init_params)
-    state = TrainState.create(apply_fn=model.apply, params=init_params, tx=tx, rng=rng_key)
+
+    if num_seeds > 1:
+        from blvm_tpu.parallel import multiseed_train_state, slice_seed
+
+        def _make_state(k):
+            kp, kr = jax.random.split(k)
+            v = model.init({"params": kp, "sample": jax.random.PRNGKey(0)}, x0_j, x0_sl_j)
+            return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
+
+        state = multiseed_train_state(_make_state, jax.random.split(params_key, num_seeds), mesh)
+        LOGGER.info(
+            f"model parameters: {count_parameters(state.params) // num_seeds:,} × {num_seeds} seeds"
+        )
+    else:
+        variables = jax.jit(
+            lambda k: model.init({"params": k, "sample": jax.random.PRNGKey(0)}, x0_j, x0_sl_j)
+        )(params_key)
+        LOGGER.info(f"model parameters: {count_parameters(variables['params']):,}")
+        init_params = variables["params"]
+        if pp_adapter is not None:
+            # training runs on the pipeline parameter layout (stage-stacked blocks)
+            init_params = pp_adapter.to_pipeline(init_params)
+        state = TrainState.create(apply_fn=model.apply, params=init_params, tx=tx, rng=rng_key)
 
     # --resume RUN_DIR: restore params + optimizer state + annealer states +
     # step from a saved run (reference resumes via manual wandb restore —
@@ -464,17 +506,23 @@ def run_audio_training(
     # eval always runs the standard (canonical-layout) forward; under pipeline
     # parallelism the stage-stacked params are converted back once per eval
     _pp_from_pipeline = jax.jit(pp_adapter.from_pipeline) if pp_adapter is not None else None
-    train_step = make_train_step(
-        train_loss_fn,
-        mesh=mesh,
-        log_norms=log_norms,
-        accum=accum_steps,
-        # every audio model's loss is total_nats / total_frames, so microbatch
-        # gradients merge exactly when weighted by frames (train_step.py)
-        loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if accum_steps > 1 else None,
-        accum_unroll=bool(getattr(args, "accum_unroll", False)),
-    )
-    eval_step = make_eval_step(loss_fn, mesh=mesh)
+    if num_seeds > 1:
+        from blvm_tpu.parallel import make_multiseed_eval_step, make_multiseed_train_step
+
+        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        eval_step = make_multiseed_eval_step(loss_fn, num_seeds, mesh=mesh)
+    else:
+        train_step = make_train_step(
+            train_loss_fn,
+            mesh=mesh,
+            log_norms=log_norms,
+            accum=accum_steps,
+            # every audio model's loss is total_nats / total_frames, so microbatch
+            # gradients merge exactly when weighted by frames (train_step.py)
+            loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if accum_steps > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
+        eval_step = make_eval_step(loss_fn, mesh=mesh)
 
     # optional importance-weighted bound at eval time (tighter than the ELBO;
     # blvm_tpu addition — evaluation/bounds.py). K forward passes under
@@ -508,6 +556,7 @@ def run_audio_training(
     dataset = pipeline.dataset
     eval_key = jax.random.PRNGKey(args.seed + 1)
     build_metrics = model.build_metrics
+    best_multiseed_value = None  # best-seed eval metric seen so far (num_seeds > 1)
 
     # optional device profiling of the first training epoch (SURVEY §5.1:
     # tracker step telemetry + jax.profiler trace hooks)
@@ -523,6 +572,12 @@ def run_audio_training(
 
         def consume_train_mets(mets_host):
             nonlocal last_norms
+            if num_seeds > 1:
+                # every metric leaf carries a leading seed axis; one tracker
+                # source per seed (exactly what N reference processes log)
+                for i in range(num_seeds):
+                    tracker.update(build_metrics(slice_seed(mets_host, i)), source=f"{dataset.train}[s{i}]")
+                return
             if log_norms:
                 last_norms = {k: float(mets_host.pop(k)) for k in ("grad_norm", "param_norm")}
             tracker.update(build_metrics(mets_host))
@@ -548,11 +603,15 @@ def run_audio_training(
             eval_params = _pp_from_pipeline(state.params) if pp_adapter is not None else state.params
             scalars = {name: np.float32(a.value if a.value is not None else a.step()) for name, a in annealers.items()}
             for source_name, loader in pipeline.valid_test_loaders.items():
-                eval_deferred = DeferredMetrics(
-                    fetch_mets,
-                    lambda m, s=source_name: tracker.update(build_metrics(m), source=s),
-                    metric_fetch_lag,
-                )
+                if num_seeds > 1:
+                    def _consume_eval(m, s=source_name):
+                        for i in range(num_seeds):
+                            tracker.update(build_metrics(slice_seed(m, i)), source=f"{s}[s{i}]")
+                else:
+                    def _consume_eval(m, s=source_name):
+                        tracker.update(build_metrics(m), source=s)
+
+                eval_deferred = DeferredMetrics(fetch_mets, _consume_eval, metric_fetch_lag)
                 for (x, x_sl), metadata in tracker.steps(
                     loader, source=source_name, before_unset=eval_deferred.flush
                 ):
@@ -590,15 +649,45 @@ def run_audio_training(
 
             # log audio reconstructions from the final eval batch
             if outputs is not None and process_count == 1:
+                if num_seeds > 1:
+                    outputs = SimpleNamespace(
+                        **{k: slice_seed(v, 0) for k, v in vars(outputs).items() if v is not None}
+                    )
                 _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
 
             if post_eval_hook is not None and is_main:
-                hook_state = state if pp_adapter is None else state.replace(params=eval_params)
+                hook_params = eval_params if num_seeds == 1 else slice_seed(eval_params, 0)
+                hook_state = state if (pp_adapter is None and num_seeds == 1) else state.replace(params=hook_params)
                 post_eval_hook(hook_state, epoch, run_dir, pipeline)
+
+            # multi-seed best-checkpoint: gate on the best seed's eval metric
+            # and save that seed's CANONICAL single-seed checkpoint (portable
+            # to every non-multiseed tool, like the per-process checkpoints of
+            # a reference schedule_experiments sweep)
+            if num_seeds > 1 and is_main and args.save_checkpoints and epoch > args.test_every:
+                latest = []
+                for i in range(num_seeds):
+                    vals = tracker.accumulated_values.get(f"{dataset.test}[s{i}]", {}).get(best_metric_name, [])
+                    if vals:
+                        latest.append((vals[-1], i))
+                if latest:
+                    best_now, best_i = min(latest)
+                    if best_multiseed_value is None or best_now < best_multiseed_value:
+                        best_multiseed_value = best_now
+                        save_run(
+                            str(run_dir),
+                            model=model,
+                            params=slice_seed(state.params, best_i),
+                            opt_state=slice_seed(state.opt_state, best_i),
+                            annealers=annealers,
+                            tracker=tracker,
+                            step=int(jax.device_get(state.step)[best_i]),
+                        )
 
             # conditional best-checkpoint save (reference gating semantics)
             if (
-                is_main
+                num_seeds == 1
+                and is_main
                 and args.save_checkpoints
                 and epoch > args.test_every
                 and dataset.test in tracker.accumulated_values
@@ -621,7 +710,8 @@ def run_audio_training(
             jax.profiler.stop_trace()
             profile_dir = None
 
-        current_lr = lr(int(state.step)) if callable(lr) else lr
+        step_now = int(jax.device_get(state.step)[0]) if num_seeds > 1 else int(state.step)
+        current_lr = lr(step_now) if callable(lr) else lr
         tracker.log(learning_rate=float(current_lr), **last_norms, **extra)
 
     if profile_dir:
