@@ -7,7 +7,11 @@ minimizes padding waste; combined with shape bucketing it also minimizes the
 number of distinct compiled shapes on TPU.
 
 Differences from the reference: explicit seeded RNG (``random.Random(seed)``)
-instead of global ``random`` state.
+instead of global ``random`` state. ``seed`` may also be a ``random.Random``
+instance shared between samplers, which reproduces the reference's
+global-``random`` stream exactly (same ``sample``/``shuffle`` call sequence —
+reference ``length_samplers.py:149,166``); the convergence parity harness uses
+this to make both frameworks plan identical batches.
 """
 
 import random
@@ -77,7 +81,7 @@ class LengthTrainSampler:
         self.longest_first = longest_first
         self.buffer: list = []  # only used when num_batches is not None
         self.drop_last = drop_last
-        self._rng = random.Random(seed)
+        self._rng = seed if isinstance(seed, random.Random) else random.Random(seed)
 
         lengths = source if isinstance(source, list) else load_field(source, field)
         self.lengths = np.asarray(lengths, dtype=int)
@@ -208,7 +212,7 @@ class LengthEvalSampler:
         self.batch_len = batch_len
         self.shuffle = shuffle
         self.longest_first = longest_first
-        self._rng = random.Random(seed)
+        self._rng = seed if isinstance(seed, random.Random) else random.Random(seed)
 
         lengths = source if isinstance(source, list) else load_field(source, field)
         self.lengths = np.asarray(lengths, dtype=int)

@@ -53,6 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
         default=False,
         help="log global grad/param norms each epoch (wandb.watch equivalent)",
     )
+    setup_group.add_argument(
+        "--init_checkpoint",
+        type=str,
+        default=None,
+        help="initialize model parameters from a saved model checkpoint directory "
+        "(model_params.msgpack) instead of random init; optimizer state starts fresh "
+        "(unlike --resume, which restores the full run)",
+    )
+    setup_group.add_argument(
+        "--sampler_shared_rng",
+        type=str2bool,
+        default=False,
+        help="all samplers draw from ONE random.Random(seed) in construction order, "
+        "reproducing the reference's global-random stream exactly (its samplers share "
+        "python's global RNG — length_samplers.py:149,166). Used by the convergence "
+        "parity harness to make both frameworks see identical batch plans",
+    )
 
     data_group = parser.add_argument_group("data")
     data_group.add_argument("--dataset", type=str, default=None, choices=list(DATASETS.keys()))

@@ -50,7 +50,7 @@ from blvm_tpu.parallel.mesh import DATA_AXIS
 from blvm_tpu.parallel.mesh import pad_batch_to_devices
 from blvm_tpu.settings import LOGGER, RUNS_DIRECTORY
 from blvm_tpu.training import TrainState, get_optimizer, save_run
-from blvm_tpu.training.optim import get_lr_schedule
+from blvm_tpu.training.optim import EpochSchedule, get_lr_schedule, set_injected_learning_rate
 from blvm_tpu.utils.audio import save_wav
 from blvm_tpu.utils.device import enable_persistent_compile_cache
 from blvm_tpu.utils.rand import set_seed
@@ -103,6 +103,13 @@ def build_audio_pipeline(args, n_devices: int):
     dataset = DATASETS[args.dataset]
     encode_train, encode_eval, decode = build_transforms(args)
 
+    # --sampler_shared_rng: one RNG shared by all samplers in construction
+    # order — reproduces the reference's global-random stream (its samplers
+    # draw from python's global `random`; reference length_samplers.py:149,166)
+    import random as _random
+
+    sampler_seed = _random.Random(args.seed) if getattr(args, "sampler_shared_rng", False) else args.seed
+
     bucket = BucketSpec(mode="multiple", multiple=args.bucket_multiple)
     batch_bucket = BucketSpec(mode="pow2", base=max(args.batch_size_bucket_base, n_devices))
 
@@ -124,11 +131,11 @@ def build_audio_pipeline(args, n_devices: int):
             batch_len=batch_len,
             max_pool_difference=16000 * 0.3,
             min_pool_size=512,
-            seed=args.seed,
+            seed=sampler_seed,
         )
     else:
         train_sampler = LengthEvalSampler(
-            source=dataset.train, field=dataset.audio_length, batch_size=args.batch_size, shuffle=True, seed=args.seed
+            source=dataset.train, field=dataset.audio_length, batch_size=args.batch_size, shuffle=True, seed=sampler_seed
         )
     train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
 
@@ -139,7 +146,9 @@ def build_audio_pipeline(args, n_devices: int):
         batch_kwarg = dict(batch_len=100 * 16000)
     for source_name in [*dataset.valid_sets, *dataset.test_sets]:
         valid_dataset = BaseDataset(source=source_name, modalities=modalities_test)
-        valid_sampler = LengthEvalSampler(source=source_name, field=dataset.audio_length, shuffle=True, **batch_kwarg)
+        valid_sampler = LengthEvalSampler(
+            source=source_name, field=dataset.audio_length, shuffle=True, seed=sampler_seed, **batch_kwarg
+        )
         valid_test_loaders[source_name] = DataLoader(
             valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
         )
@@ -150,6 +159,43 @@ def build_audio_pipeline(args, n_devices: int):
         valid_test_loaders=valid_test_loaders,
         decode_transform=decode,
     )
+
+
+def build_tx_and_lr(args):
+    """Resolve ``(tx, lr, epoch_lr)`` from the optimizer/scheduler flags.
+
+    torch-named schedulers are EPOCH-denominated — the reference steps them
+    once per epoch (``experiment_lstm_audio.py:258``) — so they resolve to an
+    :class:`EpochSchedule` and the learning rate enters the optimizer as an
+    optax injected hyperparameter the host moves between epochs
+    (``set_injected_learning_rate``; shape/dtype/sharding preserved — no
+    recompile). optax-named schedules stay per-optimizer-step inside the jit.
+    """
+    import optax
+
+    lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs) if args.lr_scheduler else args.lr
+    epoch_lr = lr if isinstance(lr, EpochSchedule) else None
+    opt_kwargs = dict(
+        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
+        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
+        skip_nonfinite_updates=getattr(args, "skip_nonfinite_updates", False),
+        **args.optimizer_kwargs,
+    )
+    if epoch_lr is not None:
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: get_optimizer(args.optimizer, learning_rate, **opt_kwargs)
+        )(learning_rate=epoch_lr.init_value)
+    else:
+        tx = get_optimizer(args.optimizer, lr, **opt_kwargs)
+    return tx, lr, epoch_lr
+
+
+def step_epoch_lr(state, epoch_lr, epoch: int, current_lr):
+    """Apply an :class:`EpochSchedule` for ``epoch``; returns ``(state, lr)``."""
+    new_lr = epoch_lr.lr_at_epoch(epoch)
+    if new_lr != current_lr:
+        state = state.replace(opt_state=set_injected_learning_rate(state.opt_state, new_lr))
+    return state, new_lr
 
 
 def make_scalar_schedules(annealers: Dict[str, object]):
@@ -412,15 +458,7 @@ def run_audio_training(
 
     from blvm_tpu.models.base import count_parameters
 
-    lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs) if args.lr_scheduler else args.lr
-    tx = get_optimizer(
-        args.optimizer,
-        lr,
-        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
-        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
-        skip_nonfinite_updates=getattr(args, "skip_nonfinite_updates", False),
-        **args.optimizer_kwargs,
-    )
+    tx, lr, epoch_lr = build_tx_and_lr(args)
 
     if num_seeds > 1:
         from blvm_tpu.parallel import multiseed_train_state, slice_seed
@@ -440,6 +478,20 @@ def run_audio_training(
         )(params_key)
         LOGGER.info(f"model parameters: {count_parameters(variables['params']):,}")
         init_params = variables["params"]
+        # --init_checkpoint: start from saved parameters (fresh optimizer) —
+        # e.g. weights transplanted from the torch reference by the
+        # convergence parity harness, or a fine-tune from a trained run
+        init_ckpt = getattr(args, "init_checkpoint", None)
+        if init_ckpt:
+            import os
+
+            from flax import serialization
+
+            path = init_ckpt if init_ckpt.endswith(".msgpack") else os.path.join(init_ckpt, "model_params.msgpack")
+            with open(path, "rb") as f:
+                init_params = serialization.from_bytes(init_params, f.read())
+            init_params = jax.tree_util.tree_map(jnp.asarray, init_params)
+            LOGGER.info(f"initialized parameters from {path}")
         if pp_adapter is not None:
             # training runs on the pipeline parameter layout (stage-stacked blocks)
             init_params = pp_adapter.to_pipeline(init_params)
@@ -566,7 +618,12 @@ def run_audio_training(
 
     metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
 
+    current_lr = float(epoch_lr.init_value) if epoch_lr is not None else None
     for epoch in tracker.epochs(args.epochs):
+        # epoch-denominated lr schedule: set the injected hyperparameter for
+        # this epoch (shape/dtype/sharding-preserving — no step recompile)
+        if epoch_lr is not None:
+            state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
         # ------------------------------------------------------------- training
         last_norms = {}
 
@@ -710,9 +767,12 @@ def run_audio_training(
             jax.profiler.stop_trace()
             profile_dir = None
 
-        step_now = int(jax.device_get(state.step)[0]) if num_seeds > 1 else int(state.step)
-        current_lr = lr(step_now) if callable(lr) else lr
-        tracker.log(learning_rate=float(current_lr), **last_norms, **extra)
+        if epoch_lr is not None:
+            log_lr = current_lr
+        else:
+            step_now = int(jax.device_get(state.step)[0]) if num_seeds > 1 else int(state.step)
+            log_lr = lr(step_now) if callable(lr) else lr
+        tracker.log(learning_rate=float(log_lr), **last_norms, **extra)
 
     if profile_dir:
         jax.profiler.stop_trace()

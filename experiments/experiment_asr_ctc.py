@@ -60,8 +60,10 @@ def build_args():
         batch_len=120,
         optimizer="Adam",
         lr=3e-4,
-        lr_scheduler="StepLR",
-        lr_scheduler_kwargs=dict(step_size=100_000, gamma=0.5),
+        # reference default (experiment_asr_ctc.py:40-41): MultiStepLR stepped
+        # once per EPOCH — milestones are epoch counts
+        lr_scheduler="MultiStepLR",
+        lr_scheduler_kwargs=dict(milestones=[100, 200, 300], gamma=0.5),
         max_grad_norm=3000.0,
         max_grad_value=1000.0,
         save_checkpoints=False,
@@ -189,14 +191,9 @@ def main():
         lambda k: model.init({"params": k, "dropout": jax.random.PRNGKey(0)}, x0_j, x0_sl_j, y0_j, y0_sl_j)
     )(params_key)
 
-    lr = get_lr_schedule(args.lr_scheduler, args.lr, **args.lr_scheduler_kwargs)
-    tx = get_optimizer(
-        args.optimizer,
-        lr,
-        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
-        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
-        **args.optimizer_kwargs,
-    )
+    from common import build_tx_and_lr, step_epoch_lr
+
+    tx, lr, epoch_lr = build_tx_and_lr(args)
     state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
 
     def loss_fn(params, rng, batch, scalars):
@@ -242,7 +239,10 @@ def main():
         metrics, hyps, refs = model.build_metrics(mets_host)
         tracker.update(metrics)
 
+    current_lr = float(epoch_lr.init_value) if epoch_lr is not None else None
     for epoch in tracker.epochs(args.epochs):
+        if epoch_lr is not None:
+            state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
         deferred = DeferredMetrics(
             jax.device_get, lambda m: tracker.update(model.build_metrics(m)[0]), metric_fetch_lag
         )
@@ -263,8 +263,8 @@ def main():
                 mets, outputs = eval_step(state.params, sub, batch, {})
                 eval_deferred.push(mets)
 
-        current_lr = lr(int(state.step)) if callable(lr) else lr
-        tracker.log(learning_rate=float(current_lr))
+        log_lr = current_lr if epoch_lr is not None else (lr(int(state.step)) if callable(lr) else lr)
+        tracker.log(learning_rate=float(log_lr))
 
         for r, h in zip(refs[:5], hyps[:5]):
             print(f"Ref: {r}\nHyp: {h}")

@@ -162,14 +162,9 @@ def main():
         lambda k: model.init({"params": k, "dropout": jax.random.PRNGKey(0)}, z0, z0_sl, y0_j, y0_sl_j)
     )(params_key)
 
-    lr = get_lr_schedule(args.lr_scheduler, args.lr, **(args.lr_scheduler_kwargs or {})) if args.lr_scheduler else args.lr
-    tx = get_optimizer(
-        args.optimizer,
-        lr,
-        clip_grad_norm=None if args.max_grad_norm == float("inf") else args.max_grad_norm,
-        clip_grad_value=None if args.max_grad_value == float("inf") else args.max_grad_value,
-        **args.optimizer_kwargs,
-    )
+    from common import build_tx_and_lr, step_epoch_lr
+
+    tx, lr, epoch_lr = build_tx_and_lr(args)
     state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
 
     @jax.jit
@@ -204,7 +199,10 @@ def main():
     def consume_train_mets(mets_host):
         tracker.update(model.build_metrics(mets_host)[0])
 
+    current_lr = float(epoch_lr.init_value) if epoch_lr is not None else None
     for epoch in tracker.epochs(args.epochs):
+        if epoch_lr is not None:
+            state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
         deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
         for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
             train_loader, source=str(train_source), before_unset=deferred.flush
@@ -224,8 +222,8 @@ def main():
                 mets = eval_step(state.params, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
                 eval_deferred.push(mets)
 
-        current_lr = lr(int(state.step)) if callable(lr) else lr
-        tracker.log(learning_rate=float(current_lr))
+        log_lr = current_lr if epoch_lr is not None else (lr(int(state.step)) if callable(lr) else lr)
+        tracker.log(learning_rate=float(log_lr))
 
 
 if __name__ == "__main__":

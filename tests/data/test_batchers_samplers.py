@@ -162,3 +162,81 @@ class TestLengthEvalSampler:
         lengths = [100, 500, 300]
         s = LengthEvalSampler(lengths, batch_size=1, longest_first=True)
         assert s.batches[0] == [1]  # index of the longest
+
+
+class TestReferenceSamplerStreamParity:
+    """The convergence parity harness relies on batch-PLAN identity between the
+    two frameworks: the reference samplers draw from python's GLOBAL random
+    (``length_samplers.py:149,166``), ours from an explicit RNG. With
+    ``seed=random.Random(s)`` shared across samplers in construction order
+    (``--sampler_shared_rng``), the call sequences are identical — so the batch
+    sequences must match the reference exactly, across epochs, including the
+    eval samplers' interleaved consumption of the stream."""
+
+    def _reference(self):
+        from tests.parity import reference_loader
+
+        try:
+            reference_loader.load_reference()
+        except ImportError:
+            pytest.skip("reference checkout unavailable")
+        import blvm.data.samplers.length_samplers as ref_ls
+
+        return ref_ls
+
+    def test_train_sampler_matches_reference_stream(self):
+        import random
+
+        ref_ls = self._reference()
+        rng = np.random.default_rng(7)
+        # distinct lengths: the reference argsort is non-stable, ours stable —
+        # ties would permute pools (real datasets: sample lengths collide
+        # rarely; the harness dataset is built with all-distinct lengths)
+        lengths = (rng.permutation(96) * 37 + 1600).tolist()
+
+        seed = 123
+        random.seed(seed)  # the reference's set_seed path (utils/rand.py:12)
+        ref = ref_ls.LengthTrainSampler(
+            source=list(lengths), field=None, batch_len=16000, max_pool_difference=300, min_pool_size=8
+        )
+        ours = LengthTrainSampler(
+            source=list(lengths),
+            batch_len=16000,
+            max_pool_difference=300,
+            min_pool_size=8,
+            seed=random.Random(seed),
+        )
+        for epoch in range(4):
+            assert [list(map(int, b)) for b in ref.batches] == ours.batches, f"epoch {epoch}"
+            assert list(iter(ref)) is not None and list(iter(ours)) is not None  # triggers resample
+
+    def test_interleaved_train_eval_stream(self):
+        """Construction order train→eval, then per-epoch train resample with
+        eval resamples interleaved at 'eval epochs' — the exact global-random
+        consumption pattern of a reference driver run."""
+        import random
+
+        ref_ls = self._reference()
+        rng = np.random.default_rng(11)
+        train_lens = (rng.permutation(64) * 53 + 2000).tolist()
+        eval_lens = (rng.permutation(24) * 41 + 1700).tolist()
+
+        seed = 5
+        random.seed(seed)
+        ref_train = ref_ls.LengthTrainSampler(
+            source=list(train_lens), field=None, batch_len=16000, max_pool_difference=500, min_pool_size=8
+        )
+        ref_eval = ref_ls.LengthEvalSampler(source=list(eval_lens), field=None, batch_len=8000, shuffle=True)
+
+        shared = random.Random(seed)
+        our_train = LengthTrainSampler(
+            source=list(train_lens), batch_len=16000, max_pool_difference=500, min_pool_size=8, seed=shared
+        )
+        our_eval = LengthEvalSampler(source=list(eval_lens), batch_len=8000, shuffle=True, seed=shared)
+
+        for epoch in range(1, 7):
+            assert [list(map(int, b)) for b in ref_train.batches] == our_train.batches, f"train epoch {epoch}"
+            list(iter(ref_train)), list(iter(our_train))
+            if epoch % 2 == 0:  # eval every 2 epochs
+                assert [list(map(int, b)) for b in ref_eval.batches] == our_eval.batches, f"eval epoch {epoch}"
+                list(iter(ref_eval)), list(iter(our_eval))

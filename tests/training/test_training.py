@@ -80,9 +80,74 @@ class TestOptimFactory:
             get_optimizer("NotAnOptimizer", 1e-3)
 
     def test_lr_schedules(self):
-        s = get_lr_schedule("ExponentialLR", 1.0, gamma=0.5, transition_steps=1)
-        np.testing.assert_allclose(float(s(2)), 0.25, rtol=1e-6)
+        from blvm_tpu.training.optim import EpochSchedule
+
+        s = get_lr_schedule("ExponentialLR", 1.0, gamma=0.5)
+        assert isinstance(s, EpochSchedule)
+        # lr during epoch 3 has seen two per-epoch step() calls (torch cadence)
+        np.testing.assert_allclose(s.lr_at_epoch(3), 0.25, rtol=1e-6)
         assert get_lr_schedule(None, 3e-4) == 3e-4
+        # optax names stay per-optimizer-step schedules
+        opt_s = get_lr_schedule("cosine_decay_schedule", 1.0, decay_steps=10)
+        assert callable(opt_s) and not isinstance(opt_s, EpochSchedule)
+
+    @pytest.mark.parametrize(
+        "name,kwargs",
+        [
+            ("MultiStepLR", dict(milestones=[2, 5, 9], gamma=0.1)),
+            ("ExponentialLR", dict(gamma=0.9)),
+            ("StepLR", dict(step_size=3, gamma=0.5)),
+            ("CosineAnnealingLR", dict(T_max=10)),
+            ("MultiplicativeLR", dict(lr_lambda=0.95)),
+        ],
+    )
+    def test_torch_schedule_oracle(self, name, kwargs):
+        """Epoch-denominated schedules match torch's lr_scheduler per epoch:
+        the reference calls ``lr_scheduler.step()`` once per epoch
+        (``experiment_lstm_audio.py:258``), so the lr used during epoch k is
+        torch's lr after k-1 step() calls."""
+        torch = pytest.importorskip("torch")
+
+        lr0 = 3e-4
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr0)
+        tkw = dict(kwargs)
+        if name == "MultiplicativeLR":
+            factor = tkw.pop("lr_lambda")
+            tkw["lr_lambda"] = lambda e: factor
+        sched = getattr(torch.optim.lr_scheduler, name)(opt, **tkw)
+
+        ours = get_lr_schedule(name, lr0, **kwargs)
+        for epoch in range(1, 13):
+            torch_lr = opt.param_groups[0]["lr"]
+            np.testing.assert_allclose(
+                ours.lr_at_epoch(epoch), torch_lr, rtol=1e-12, err_msg=f"{name} epoch {epoch}"
+            )
+            sched.step()
+
+    def test_injected_epoch_lr_changes_updates(self):
+        """inject_hyperparams + set_injected_learning_rate actually moves the
+        lr seen by a jitted update, without changing the opt_state treedef."""
+        from blvm_tpu.training.optim import set_injected_learning_rate
+
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: get_optimizer("SGD", learning_rate, clip_grad_value=10.0)
+        )(learning_rate=1.0)
+        params = {"w": jnp.ones(3)}
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def upd(opt_state, grads):
+            updates, new_state = tx.update(grads, opt_state, params)
+            return updates, new_state
+
+        grads = {"w": jnp.ones(3)}
+        u1, opt_state = upd(opt_state, grads)
+        np.testing.assert_allclose(np.asarray(u1["w"]), -1.0)
+
+        new_state = set_injected_learning_rate(opt_state, 0.25)
+        assert jax.tree_util.tree_structure(new_state) == jax.tree_util.tree_structure(opt_state)
+        u2, _ = upd(new_state, grads)
+        np.testing.assert_allclose(np.asarray(u2["w"]), -0.25)
 
 
 class TestSaveLoadRun:
