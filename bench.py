@@ -246,6 +246,19 @@ def time_steps(step, state, batches, schedules, n_steps, sync_every_step):
     return state, dt, float(jax.device_get(first_loss)), last
 
 
+def scan_chain_times(loss_fn, state, batches, steps_a, steps_b):
+    """Scan-chain timing at two lengths; returns (state, per_step, linear, lf, ll).
+
+    Linearity is judged between the two chain lengths IN scan mode (round-3
+    verdict #2: the committed LSTM line carried ``timing_linear: false`` from
+    the async mode even though its reported number came from the scan chain).
+    """
+    state, per_a, _, _ = scan_chain_time(loss_fn, state, batches, steps_a)
+    state, per_b, lf, ll = scan_chain_time(loss_fn, state, batches, steps_b)
+    linear = abs(per_a - per_b) <= 0.25 * max(per_a, per_b)
+    return state, per_b, linear, lf, ll
+
+
 def scan_chain_time(loss_fn, state, batches, n_steps):
     """Time n_steps train steps embedded in ONE jitted ``lax.scan``.
 
@@ -290,6 +303,20 @@ def scan_chain_time(loss_fn, state, batches, n_steps):
     return state, dt / n_steps, float(losses[0]), float(losses[-1])
 
 
+def step_flops(loss_fn, state, batch) -> float:
+    """Static MXU FLOP count of ONE full train step (fwd + bwd + update),
+    counted from the traced jaxpr with scan trip counts multiplied out
+    (utils/flops.py — XLA's own cost model counts scan bodies once, useless
+    for the recurrent families). Computed on the accum-free monolithic step:
+    accumulation splits the same math into microbatches, so the per-step
+    total is identical and the count stays comparable across accum settings."""
+    from blvm_tpu.parallel import make_train_step
+    from blvm_tpu.utils.flops import count_flops
+
+    raw_step = make_train_step(loss_fn, jit=False)
+    return count_flops(raw_step, state, batch, {})
+
+
 def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     from blvm_tpu.parallel import make_train_step
     from blvm_tpu.training import TrainState, get_optimizer
@@ -330,14 +357,27 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
     kind = getattr(device, "device_kind", "unknown")
     peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
 
+    # static MXU FLOPs of one full train step from the traced jaxpr — EVERY
+    # family carries flops/MFU and a non-vacuous peak-plausibility guard
+    # (round-3 verdict #2: only WaveNet had one, so async inflation was
+    # unguarded for six of the seven lines)
+    try:
+        mxu_flops = step_flops(loss_fn, state, batches[0])
+    except Exception as e:
+        print(f"flop counting failed for {name} ({type(e).__name__}: {e})", file=sys.stderr)
+        mxu_flops = None
+
     fwd_flops = train_flops = None
     if name == "wavenet":
         fwd_flops, train_flops = wavenet_analytic_flops()
 
     timing_mode = "async_chain"
     per_step = per_step_b
-    implausible = fwd_flops is not None and fwd_flops / per_step > peak
-    if linear and not implausible and per_step < 0.020:
+
+    def impossible(t):
+        return mxu_flops is not None and mxu_flops / t > peak
+
+    if linear and not impossible(per_step) and per_step < 0.020:
         # Fast steps can be dispatch-bound even when linear: the relay adds a
         # CONSTANT per-step dispatch latency, which passes the linearity check
         # while hiding the device's true rate (measured: CTC 11.5 ms async vs
@@ -345,20 +385,20 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
         # steps, work forced by device_get of the loss vector) removes the
         # host cost; both modes force the work, so take the faster reading.
         try:
-            state, per_step_scan, lf, ll = scan_chain_time(loss_fn, state, batches, steps_b)
+            state, per_step_scan, linear_scan, lf, ll = scan_chain_times(loss_fn, state, batches, steps_a, steps_b)
             if per_step_scan < per_step:
                 per_step, loss_first, loss_last = per_step_scan, lf, ll
-                timing_mode = "scan_chain"
+                timing_mode, linear = "scan_chain", linear_scan
         except Exception as e:
             print(f"scan-chain timing failed for {name} ({type(e).__name__}); keeping async_chain", file=sys.stderr)
-    if not linear or implausible:
+    if not linear or impossible(per_step):
         # async dispatch on the relay is not trustworthy for this family
         # (non-linear = per-step dispatch latency dominates, or implausible =
         # async inflation). Re-measure as ONE jitted scan over the steps: a
         # single dispatch containing all the work, closed by device_get of the
         # per-step losses — immune to both failure modes.
         try:
-            state, per_step, loss_first, loss_last = scan_chain_time(loss_fn, state, batches, steps_b)
+            state, per_step, linear, loss_first, loss_last = scan_chain_times(loss_fn, state, batches, steps_a, steps_b)
             timing_mode = "scan_chain"
         except Exception as e:
             print(f"scan-chain timing failed for {name} ({type(e).__name__}); per-step sync fallback", file=sys.stderr)
@@ -367,11 +407,12 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
             n_sync = max(10, steps_b // 2)
             state, dt_s, loss_first, loss_last = time_steps(step, state, batches, {}, n_sync, sync_every_step=True)
             per_step = dt_s / n_sync
+            linear = True  # per-step sync cannot be async-inflated
 
-    if fwd_flops is not None and fwd_flops / per_step > peak:
+    if impossible(per_step):
         print(
-            f"IMPLAUSIBLE MEASUREMENT ({name}): forward-only lower bound {fwd_flops / per_step:.3e} "
-            f"FLOP/s exceeds {kind} peak {peak:.3e} even in {timing_mode} mode — refusing to report",
+            f"IMPLAUSIBLE MEASUREMENT ({name}): MXU FLOP count implies {mxu_flops / per_step:.3e} "
+            f"FLOP/s, above {kind} peak {peak:.3e}, even in {timing_mode} mode — refusing to report",
             file=sys.stderr,
         )
         sys.exit(1)
@@ -392,10 +433,16 @@ def bench_family(name, builder, bf16, steps_a, steps_b, headline):
         "loss_first": round(loss_first, 4),
         "loss_last": round(loss_last, 4),
     }
-    if train_flops is not None:
-        result["flops_per_sec"] = round(train_flops / per_step, 1)
-        result["mfu_pct"] = round(100.0 * train_flops / per_step / peak, 2)
+    if mxu_flops is not None:
+        result["flops_per_step"] = round(mxu_flops, 1)
+        result["flops_per_sec"] = round(mxu_flops / per_step, 1)
+        result["mfu_pct"] = round(100.0 * mxu_flops / per_step / peak, 2)
         result["hw_peak_assumed"] = peak
+        result["flops_source"] = "jaxpr_mxu"
+    if train_flops is not None:
+        # analytic cross-check for the flagship (3x forward heuristic vs the
+        # exact traced fwd+bwd count above)
+        result["wavenet_train_flops_analytic"] = round(train_flops, 1)
     if headline:
         result["metric"] = "wavenet_train_throughput_waveform_samples_per_sec"
     return result
@@ -444,9 +491,33 @@ def bench_family_eval(name, builder, bf16, steps_a, steps_b):
     per_step_b, loss_first, loss_last = timed(steps_b)
     linear = abs(per_step_a - per_step_b) <= 0.25 * max(per_step_a, per_step_b)
     kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    peak = PEAKS_BF16.get(kind, DEFAULT_PEAK)
+
+    flops_fields = {}
+    try:
+        from blvm_tpu.utils.flops import count_flops
+
+        fwd = count_flops(lambda p, b: loss_fn(p, jax.random.PRNGKey(0), b, {})[0], params, batches[0])
+        if fwd / per_step_b > peak:
+            print(
+                f"IMPLAUSIBLE EVAL MEASUREMENT ({name}): {fwd / per_step_b:.3e} FLOP/s above "
+                f"{kind} peak {peak:.3e} — refusing to report",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        flops_fields = {
+            "flops_per_step": round(fwd, 1),
+            "flops_per_sec": round(fwd / per_step_b, 1),
+            "mfu_pct": round(100.0 * fwd / per_step_b / peak, 2),
+            "hw_peak_assumed": peak,
+            "flops_source": "jaxpr_mxu",
+        }
+    except Exception as e:
+        print(f"flop counting failed for {name} eval ({type(e).__name__}: {e})", file=sys.stderr)
 
     samples_per_sec = samples_per_step / per_step_b
     return {
+        **flops_fields,
         "metric": f"{name}_eval_throughput_waveform_samples_per_sec"
         if name != "ctc"
         else "ctc_eval_throughput_frames_per_sec",

@@ -16,6 +16,7 @@ import numpy as np
 from blvm_tpu.data.batchers import Batcher, ListBatcher
 from blvm_tpu.data.datapaths import DATAPATHS_MAPPING
 from blvm_tpu.data.loaders import Loader
+from blvm_tpu.data.transforms import Transform
 from blvm_tpu.ops.sequence import update_running_variance
 
 
@@ -68,6 +69,13 @@ class BaseDataset:
     def disable_transforms(self):
         self.transforms_enabled = False
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the transform context's epoch counter (the driver calls this
+        once per epoch) so per-example-deterministic random transforms (e.g.
+        ``RandomSegment``) draw fresh crops each epoch while staying a pure
+        function of (seed, example_id, epoch) — thread- and multi-host-safe."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx):
         """All modalities of a single example: ``(data, metadata)`` or tuples thereof."""
         example_id = self.examples[idx]
@@ -76,10 +84,14 @@ class BaseDataset:
         for loader in self.unique_loaders:
             loader_data[loader.id] = loader(example_id)
 
+        ctx = {"example_id": example_id, "epoch": getattr(self, "epoch", 0)}
         data, metadata = [], []
         for loader, transform in zip(self.loaders, self.transforms):
             x, m = loader_data[loader.id]
-            y = transform(x) if self.transforms_enabled and transform else x
+            if self.transforms_enabled and transform:
+                y = transform(x, ctx) if isinstance(transform, Transform) else transform(x)
+            else:
+                y = x
             data.append(y)
             metadata.append(m)
 

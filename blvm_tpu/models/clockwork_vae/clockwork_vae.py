@@ -26,6 +26,7 @@ import numpy as np
 from blvm_tpu.evaluation.metrics import (
     BitsPerDimMetric,
     EMAMetric,
+    drop_padded_rows,
     KLMetric,
     LLMetric,
     LatestMeanMetric,
@@ -286,6 +287,7 @@ class CWVAE(nn.Module):
 
     def build_metrics(self, mets: dict):
         """Reference metric set incl. EMA bits/frame (``clockwork_vae.py:106-128``)."""
+        mets = drop_padded_rows(mets)
         loss, elbo, log_prob, kld, kld_l, x_sl = (
             mets["loss"],
             mets["elbo"],
@@ -473,6 +475,7 @@ class CWVAEAudio(BaseModel):
         needing a bound module."""
         num_levels = len(self.strides)
         overall_strides = np.cumprod(self.strides)
+        mets = drop_padded_rows(mets)
         loss, elbo, log_prob, kld, kld_l, x_sl = (
             mets["loss"],
             mets["elbo"],

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from blvm_tpu.evaluation.metrics import BitsPerDimMetric, LLMetric, LossMetric
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, drop_padded_rows, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.modules.common import MLP
 from blvm_tpu.modules.distributions import DiscretizedLogisticMixtureDense
@@ -111,6 +111,7 @@ class LSTMAudio(BaseModel):
     def build_metrics(mets: dict):
         """Host-side Metric construction (same classes/weights as reference
         ``lstm.py:117-121``)."""
+        mets = drop_padded_rows(mets)
         log_prob = mets["log_prob"]
         return [
             LossMetric(mets["loss"], weight_by=int(log_prob.shape[0])),

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blvm_tpu.evaluation.metrics import BitsPerDimMetric, KLMetric, LatestMeanMetric, LLMetric, LossMetric
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, drop_padded_rows, KLMetric, LatestMeanMetric, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.models.elbo import compute_sequence_elbo
 from blvm_tpu.models.vrnn import _StackedEncoder, _UnstackingDecoder
@@ -338,6 +338,7 @@ class SRNNAudio(BaseModel):
 
     @staticmethod
     def build_metrics(mets: dict):
+        mets = drop_padded_rows(mets)
         elbo, log_prob, kl, x_sl = mets["elbo"], mets["log_prob"], mets["kl"], mets["x_sl"]
         return [
             LossMetric(mets["loss"], weight_by=int(np.asarray(elbo).size)),

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blvm_tpu.evaluation.metrics import BitsPerDimMetric, KLMetric, LatestMeanMetric, LLMetric, LossMetric
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, drop_padded_rows, KLMetric, LatestMeanMetric, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.models.wavenet.modules import CausalConv1d, ResidualStack
 from blvm_tpu.modules.common import MLP, Dense
@@ -464,6 +464,7 @@ class STCN(BaseModel):
 
     def build_metrics(self, mets: dict):
         """Per-layer KL decomposition in nats/bpz/bpx (reference ``stcn.py:222-254``)."""
+        mets = drop_padded_rows(mets)
         loss, elbo, log_prob, kld, klds, x_sl = (
             mets["loss"],
             mets["elbo"],

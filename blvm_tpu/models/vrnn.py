@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blvm_tpu.evaluation.metrics import BitsPerDimMetric, KLMetric, LatestMeanMetric, LLMetric, LossMetric
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, drop_padded_rows, KLMetric, LatestMeanMetric, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.modules.common import MLP
 from blvm_tpu.modules.distributions import (
@@ -286,6 +286,7 @@ class VRNNAudio(BaseModel):
     @staticmethod
     def build_metrics(mets: dict):
         """Reference metric set (``vrnn.py:346-355``)."""
+        mets = drop_padded_rows(mets)
         elbo, log_prob, kl, x_sl = mets["elbo"], mets["log_prob"], mets["kl"], mets["x_sl"]
         return [
             LossMetric(mets["loss"], weight_by=int(np.asarray(elbo).size)),

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from blvm_tpu.evaluation.metrics import BitsPerDimMetric, LLMetric, LossMetric
+from blvm_tpu.evaluation.metrics import BitsPerDimMetric, drop_padded_rows, LLMetric, LossMetric
 from blvm_tpu.models.base import BaseModel
 from blvm_tpu.models.wavenet.modules import CausalConv1d, PointwiseTransform, ResidualStack
 from blvm_tpu.modules.distributions import get_likelihood_head
@@ -220,6 +220,7 @@ class WaveNet(BaseModel):
 
     @staticmethod
     def build_metrics(mets: dict):
+        mets = drop_padded_rows(mets)
         log_prob = mets["log_prob"]
         return [
             LossMetric(mets["loss"], weight_by=int(log_prob.shape[0])),

@@ -39,7 +39,10 @@ def _check_divisible(num_seeds: int, mesh) -> None:
     if num_seeds % n_dev != 0:
         raise ValueError(
             f"num_seeds ({num_seeds}) must be a multiple of the data axis size "
-            f"({n_dev}) so every device holds a whole number of seeds"
+            f"({n_dev}) so every device holds a whole number of seeds. For fewer "
+            f"seeds than devices, shrink the mesh: pass --n_devices {num_seeds} "
+            f"(or any divisor of {num_seeds}) — the remaining devices stay idle, "
+            "which is what K independent reference processes on K GPUs do too"
         )
 
 

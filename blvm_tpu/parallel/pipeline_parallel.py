@@ -58,7 +58,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from blvm_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+from blvm_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS, SEQ_AXIS
 
 # TrainState sharding rules for the pipeline parameter layout: every stacked
 # stage leaf (params AND the Adam moments mirroring them) shards its leading
@@ -113,6 +113,44 @@ def from_pipeline_params(params, n_stages: Optional[int] = None):
     return out
 
 
+def stack_consumed(n_layers: int, n_stacks: int, kernel_size: int, base_dilation: int) -> int:
+    """Frames the whole residual stack's VALID convs consume (= the engine's
+    ``n_stages * consumed`` = the overlap each sequence window must carry)."""
+    from blvm_tpu.models.wavenet.modules import ResidualStack
+
+    return sum(d * (kernel_size - 1) for d in ResidualStack.build_dilations(n_layers, n_stacks, base_dilation))
+
+
+def seq_windows(h, seq: int, overlap: int):
+    """Overlap-window sequence sharding: turn time shards into extra batch rows.
+
+    ``h``: the stack input ``(B, skip + overlap, C)`` (the last ``skip`` frames
+    are the positions the skips/output read; the first ``overlap`` frames are
+    history). Returns ``(B*seq, skip/seq + overlap, C)`` where row ``b*seq+i``
+    owns skip slice ``i`` of example ``b`` AND carries its own receptive-field
+    history — so the pipeline engine needs NO per-block halo exchange and
+    pp x sp reduces to row sharding over the (data, seq) mesh axes. The
+    redundant compute is ``overlap / (skip/seq)`` (flagship STCN at T=16000,
+    seq=4: 155/4000 ≈ 4%); the owned outputs are the same contractions as the
+    monolithic form, so loss AND gradients are exact (each input frame's
+    gradient flows through every window that reads it — the same multiset of
+    products as the monolithic conv).
+    """
+    B, T_buf, C = h.shape
+    skip = T_buf - overlap
+    if skip % seq != 0:
+        raise ValueError(f"skip region ({skip}) not divisible by seq axis ({seq})")
+    loc = skip // seq
+    rows = [h[:, i * loc : i * loc + loc + overlap] for i in range(seq)]
+    return jnp.stack(rows, axis=1).reshape(B * seq, loc + overlap, C)
+
+
+def seq_unwindows(y, seq: int):
+    """Inverse row layout: ``(B*seq, loc, C)`` -> ``(B, seq*loc, C)``."""
+    Bs, loc, C = y.shape
+    return y.reshape(Bs // seq, seq * loc, C)
+
+
 def make_pipelined_stack(
     *,
     n_layers: int,
@@ -158,9 +196,13 @@ def make_pipelined_stack(
         raise ValueError(f"mesh has no '{PIPE_AXIS}' axis: {mesh.axis_names}")
     if mesh.shape[PIPE_AXIS] != n_stages:
         raise ValueError(f"mesh pipe axis ({mesh.shape[PIPE_AXIS]}) != n_stages ({n_stages})")
-    for ax in ("seq", "model"):
-        if ax in mesh.axis_names:
-            raise ValueError(f"pipeline parallelism does not compose with the '{ax}' axis yet")
+    if "model" in mesh.axis_names:
+        raise ValueError("pipeline parallelism does not compose with the 'model' axis yet")
+    # pp x sp composes through overlap-window sequence sharding (the adapters
+    # turn time shards into extra batch ROWS carrying their own receptive-field
+    # history — see ``seq_windows``): the engine just shards rows over BOTH the
+    # data and seq mesh axes, no per-block halo exchange needed
+    row_axes = (DATA_AXIS, SEQ_AXIS) if SEQ_AXIS in mesh.axis_names else DATA_AXIS
 
     dilations = list(ResidualStack.build_dilations(n_layers, n_stacks, base_dilation))
     n_blocks = len(dilations)
@@ -280,9 +322,9 @@ def make_pipelined_stack(
         ]
 
     out_specs = (
-        P(DATA_AXIS, None, None)
+        P(row_axes, None, None)
         if skip_mode == "sum"
-        else [P(DATA_AXIS, None, None)] * (n_stages * k_used)
+        else [P(row_axes, None, None)] * (n_stages * k_used)
     )
 
     def pipelined(stage_params, h):
@@ -290,7 +332,7 @@ def make_pipelined_stack(
         return jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(specs, P(DATA_AXIS, None, None)),
+            in_specs=(specs, P(row_axes, None, None)),
             out_specs=out_specs,
             check_vma=False,
         )(stage_params, h)
@@ -358,6 +400,8 @@ class WaveNetPipelineAdapter:
             n_micro=self.n_micro,
             mesh=mesh,
         )
+        seq = mesh.shape[SEQ_AXIS] if SEQ_AXIS in mesh.axis_names else 1
+        overlap = stack_consumed(model.n_layers, model.n_stacks, model.kernel_size, model.base_dilation)
 
         def loss_fn(params, rng, batch, scalars):
             x, x_sl = batch["x"], batch["x_sl"]
@@ -373,7 +417,11 @@ class WaveNetPipelineAdapter:
 
             h = causal.apply({"params": params["causal"]}, x, pad_causal=True)
             h = in_conv.apply({"params": params["res_stack"]["Conv1d_0"]}, h)
+            if seq > 1:
+                h = seq_windows(h, seq, overlap)  # pp x sp: time shards as rows
             skip_sum = pipelined(params["res_stack"]["stages"], h)  # (B, T, S) f32
+            if seq > 1:
+                skip_sum = seq_unwindows(skip_sum, seq)
             logits = out_transform.apply({"params": params["out_transform"]}, skip_sum * variance_scale)
             if nsf > 1:
                 B, Ts, _ = logits.shape
@@ -481,6 +529,8 @@ class STCNPipelineAdapter:
             skip_mode="collect",
             local_skip_mask=local_mask,
         )
+        seq = mesh.shape[SEQ_AXIS] if SEQ_AXIS in mesh.axis_names else 1
+        overlap = stack_consumed(model.n_layers, n_stacks, model.kernel_size, model.base_dilation)
 
         def loss_fn(params, rng, batch, scalars):
             x, x_sl = batch["x"], batch["x_sl"]
@@ -498,7 +548,11 @@ class STCNPipelineAdapter:
 
             out = causal.apply({"params": params["causal"]}, x, pad_causal=False)
             h = in_conv.apply({"params": params["res_stack"]["Conv1d_0"]}, out)
+            if seq > 1:
+                h = seq_windows(h, seq, overlap)  # pp x sp: time shards as rows
             collected = pipelined(params["res_stack"]["stages"], h)  # ascending global order
+            if seq > 1:
+                collected = [seq_unwindows(c, seq) for c in collected]
             skips = [None] * n_blocks
             for g, s_ in zip([g for g in range(n_blocks) if (g % n) == n - 1], collected):
                 if g in used_globals:

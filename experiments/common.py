@@ -78,8 +78,32 @@ def build_transforms(args):
     return encode_train, Compose(*encode), Compose(*decode)
 
 
-def build_audio_pipeline(args, n_devices: int):
+def build_audio_pipeline(
+    args,
+    n_devices: int,
+    eval_batch: str = "100s",
+    eval_shuffle: bool = True,
+    eval_split_bs_mult: int = 1,
+):
     """Datasets, samplers and loaders for the standard single-modality audio task.
+
+    The eval-sampler geometry varies per reference driver and is mirrored here:
+
+    ========  ==================================  =========  ==============
+    family    eval batch budget                   shuffle    split-eval b.s.
+    ========  ==================================  =========  ==============
+    lstm      100*16000 ("100s")                  True       batch_size
+    wavenet   batch_len or "max" ("train")        True       batch_size*3
+    vrnn      batch_len or "max"                  False      batch_size*3
+    srnn      batch_len or "max"                  False      batch_size*3
+    stcn      2*batch_len or "max" ("2xtrain")    True       batch_size
+    cwvae     batch_len or "max"                  True       batch_size*3
+    ========  ==================================  =========  ==============
+
+    (reference ``experiment_*_audio.py`` eval-loader sections, e.g.
+    ``experiment_vrnn_audio.py:149-158``). Batch geometry does not change the
+    exact weighted metric aggregates, but it changes memory shape and — under
+    ``--sampler_shared_rng`` — the RNG stream, so parity requires fidelity.
 
     Multi-host: every process runs the SAME seeded samplers over the FULL
     example list, so all hosts agree on the global batch plan (count, row
@@ -95,11 +119,10 @@ def build_audio_pipeline(args, n_devices: int):
     overlapped by the loader threads.
     """
     maybe_initialize_distributed(args)
-    if jax.process_count() > 1 and args.num_workers != 0:
-        # RandomSegment draws from one sequential RNG; thread interleaving
-        # would desync the hosts' crop positions (and thus padded shapes)
-        LOGGER.warning("multi-host: forcing --num_workers 0 for deterministic lockstep batch shapes")
-        args.num_workers = 0
+    # (round-3 forced --num_workers 0 here: RandomSegment drew from a shared
+    # sequential RNG, so loader threads could desync hosts' crop positions.
+    # Crops are now a pure function of (seed, example_id, epoch) —
+    # transforms.RandomSegment — so threaded loading is multi-host-safe.)
     dataset = DATASETS[args.dataset]
     encode_train, encode_eval, decode = build_transforms(args)
 
@@ -118,12 +141,14 @@ def build_audio_pipeline(args, n_devices: int):
     modalities_test = [(AudioLoader(dataset.audio_ext), encode_eval, batcher())]
 
     train_dataset = BaseDataset(source=dataset.train, modalities=modalities_train)
+    resolved_batch_len = None
     if args.batch_len:
         # reference CLI semantics (experiment_wavenet_audio.py:63): a float is
         # SECONDS (x16000); an int (only reachable via set_defaults — argparse
         # parses every numeric CLI value as float) is samples. Log the resolved
         # budget: passing e.g. "128000" means 128000 SECONDS and will OOM.
         batch_len = 16000 * args.batch_len if isinstance(args.batch_len, float) else args.batch_len
+        resolved_batch_len = batch_len
         LOGGER.info(f"train batch budget: {batch_len:,.0f} timesteps (batch_len={args.batch_len!r})")
         train_sampler = LengthTrainSampler(
             source=dataset.train,
@@ -141,13 +166,19 @@ def build_audio_pipeline(args, n_devices: int):
 
     valid_test_loaders = {}
     if getattr(args, "split_eval", False) and args.batch_size > 0:
-        batch_kwarg = dict(batch_size=args.batch_size)
-    else:
+        batch_kwarg = dict(batch_size=args.batch_size * eval_split_bs_mult)
+    elif eval_batch == "100s":
         batch_kwarg = dict(batch_len=100 * 16000)
+    elif eval_batch == "train":
+        batch_kwarg = dict(batch_len=resolved_batch_len or "max")
+    elif eval_batch == "2xtrain":
+        batch_kwarg = dict(batch_len=2 * resolved_batch_len if resolved_batch_len else "max")
+    else:
+        raise ValueError(f"unknown eval_batch spec {eval_batch!r}")
     for source_name in [*dataset.valid_sets, *dataset.test_sets]:
         valid_dataset = BaseDataset(source=source_name, modalities=modalities_test)
         valid_sampler = LengthEvalSampler(
-            source=source_name, field=dataset.audio_length, shuffle=True, seed=sampler_seed, **batch_kwarg
+            source=source_name, field=dataset.audio_length, shuffle=eval_shuffle, seed=sampler_seed, **batch_kwarg
         )
         valid_test_loaders[source_name] = DataLoader(
             valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
@@ -283,6 +314,7 @@ def run_audio_training(
     iw_kwargs: Optional[Dict] = None,
     seq_parallel_ok: bool = False,
     pp_adapter_factory: Optional[Callable] = None,
+    eval_offset: int = 0,
 ):
     """The canonical training loop (reference ``experiment_lstm_audio.py:140-257``).
 
@@ -352,8 +384,12 @@ def run_audio_training(
             raise ValueError(
                 "--pipeline_axis_size > 1 is only supported by the conv-stack experiments (WaveNet, STCN)"
             )
-        if model_axis_size > 1 or seq_axis_size > 1:
-            raise ValueError("--pipeline_axis_size does not compose with --model_axis_size/--seq_axis_size yet")
+        if model_axis_size > 1:
+            raise ValueError("--pipeline_axis_size does not compose with --model_axis_size yet")
+        # pp x sp composes: the adapters turn time shards into overlap-window
+        # batch rows (parallel/pipeline_parallel.py:seq_windows) sharded over
+        # the (data, seq) mesh axes — depth AND time sharded together, the
+        # combination the capacity-bound STCN needs (NOTES.md roofline)
         if int(getattr(args, "accum_steps", 1) or 1) > 1:
             raise ValueError("pipeline parallelism microbatches internally — use --pipeline_microbatches, not --accum_steps")
         if getattr(args, "split_eval", False) and state_carry_eval is not None:
@@ -434,9 +470,12 @@ def run_audio_training(
         block of the (identical, deterministically planned) global batch."""
         if num_seeds > 1:
             # every seed consumes the same batch — replicate instead of
-            # sharding (the SEED axis is what lives on the mesh)
+            # sharding (the SEED axis is what lives on the mesh). Still pad
+            # the rows to the bucket multiple: each distinct loader batch size
+            # would otherwise compile a new (expensive) K-seed executable
             from blvm_tpu.parallel import replicated_sharding
 
+            x, x_sl = pad_batch_to_devices(x, x_sl, batch_multiple)
             return jax.device_put({"x": jnp.asarray(x), "x_sl": jnp.asarray(x_sl)}, replicated_sharding(mesh))
         x, x_sl = pad_batch_to_devices(x, x_sl, batch_multiple)
         if process_count == 1:
@@ -591,10 +630,9 @@ def run_audio_training(
             return model_iw_bound(model, params, x, x_sl, key, num_samples, **(iw_kwargs or {}))
 
     if process_count > 1:
-        LOGGER.warning(
-            "multi-host: IW bound, reconstruction logging and checkpoint/JSONL writes run on process 0 "
-            "only; the IW bound and reconstruction logging are disabled (they pull sharded eval outputs "
-            "to one host — unsupported)"
+        LOGGER.info(
+            "multi-host: checkpoint/JSONL/wav writes run on process 0 only; the IW bound and "
+            "reconstruction logging run globally (sharded eval outputs are all-gathered to every host)"
         )
     tracker = Tracker(
         # process 0 is the system of record; other hosts keep metrics in
@@ -624,6 +662,8 @@ def run_audio_training(
         # this epoch (shape/dtype/sharding-preserving — no step recompile)
         if epoch_lr is not None:
             state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
+        # fresh (but deterministic) random-transform draws this epoch
+        pipeline.train_loader.dataset.set_epoch(epoch)
         # ------------------------------------------------------------- training
         last_norms = {}
 
@@ -654,11 +694,20 @@ def run_audio_training(
             deferred.push(mets)
 
         # ------------------------------------------------------------------ eval
+        # eval_offset matches each reference driver's cadence: 0 for
+        # LSTM/SRNN/CWVAE (`epoch % test_every`, experiment_lstm_audio.py:196),
+        # 1 for WaveNet/VRNN/STCN (`(epoch-1) % test_every`,
+        # experiment_vrnn_audio.py:239 — first eval after epoch 1)
         extra = dict()
-        if (epoch % args.test_every) == 0:
+        if ((epoch - eval_offset) % args.test_every) == 0:
             outputs = None
             eval_params = _pp_from_pipeline(state.params) if pp_adapter is not None else state.params
-            scalars = {name: np.float32(a.value if a.value is not None else a.step()) for name, a in annealers.items()}
+            # eval uses the forward DEFAULTS (beta=1, free_nats=0) — the true
+            # ELBO — like every reference driver's eval call (`model(x, x_sl)`
+            # with no annealer kwargs, e.g. experiment_vrnn_audio.py:245);
+            # caught by the convergence parity harness: passing the current
+            # annealer values here logged eval beta=0.02 vs the reference's 1.0
+            scalars = {name: np.float32(1.0 if name == "beta" else 0.0) for name in annealers}
             for source_name, loader in pipeline.valid_test_loaders.items():
                 if num_seeds > 1:
                     def _consume_eval(m, s=source_name):
@@ -688,29 +737,50 @@ def run_audio_training(
                         # eval passes share no state, so the dispatch pipeline
                         # can run several ahead while lag-old metrics are pulled
                         eval_deferred.push(mets)
-                    if eval_iw_samples > 0 and process_count == 1:
+                    if eval_iw_samples > 0:
                         # the IW bound runs on the unchunked sequence in both
                         # eval modes: it is forward-only (no stored activations
                         # for backward), so split-eval's memory motivation does
-                        # not apply and the bound keeps its exact semantics
+                        # not apply and the bound keeps its exact semantics.
+                        # Multi-host: the bound runs on the GLOBAL device batch
+                        # (not a local re-put — mixing local arrays with global
+                        # params would fail) and the per-example results are
+                        # all-gathered by fetch_mets, like any other metric.
                         eval_key, sub_iw = jax.random.split(eval_key)
-                        bound = jax.device_get(
-                            iw_step(eval_params, sub_iw, jnp.asarray(x), jnp.asarray(x_sl), eval_iw_samples)
+                        iw_batch = batch if not (getattr(args, "split_eval", False) and state_carry_eval is not None) else make_device_batch(x, x_sl)
+                        bound = fetch_mets(
+                            iw_step(eval_params, sub_iw, iw_batch["x"], iw_batch["x_sl"], eval_iw_samples)
                         )
                         x_sl_h = np.asarray(x_sl)
-                        bound = np.where(x_sl_h > 0, bound, 0.0)  # mask padded zero-length rows
+                        x_sl_h = np.concatenate([x_sl_h, np.zeros((-len(x_sl_h)) % batch_multiple, x_sl_h.dtype)])
+                        bound = np.where(x_sl_h > 0, np.asarray(bound), 0.0)  # mask padded zero-length rows
                         tracker.update(
                             [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)],
                             source=source_name,
                         )
 
-            # log audio reconstructions from the final eval batch
-            if outputs is not None and process_count == 1:
+            # log audio reconstructions from the final eval batch. Multi-host:
+            # the outputs are batch-sharded global arrays — all hosts gather
+            # the first two rows in lockstep; only process 0 writes the wavs.
+            if outputs is not None:
                 if num_seeds > 1:
                     outputs = SimpleNamespace(
                         **{k: slice_seed(v, 0) for k, v in vars(outputs).items() if v is not None}
                     )
-                _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
+                if process_count > 1:
+                    from jax.experimental import multihost_utils
+
+                    def _gather_rows(a):
+                        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                            g = multihost_utils.process_allgather(a, tiled=True)
+                            return g[:2] if getattr(g, "ndim", 0) >= 1 else g
+                        return a
+
+                    outputs = SimpleNamespace(
+                        **{k: _gather_rows(v) for k, v in vars(outputs).items() if v is not None}
+                    )
+                if is_main:
+                    _log_reconstructions(outputs, pipeline.decode_transform, run_dir, epoch)
 
             if post_eval_hook is not None and is_main:
                 hook_params = eval_params if num_seeds == 1 else slice_seed(eval_params, 0)
@@ -721,7 +791,7 @@ def run_audio_training(
             # and save that seed's CANONICAL single-seed checkpoint (portable
             # to every non-multiseed tool, like the per-process checkpoints of
             # a reference schedule_experiments sweep)
-            if num_seeds > 1 and is_main and args.save_checkpoints and epoch > args.test_every:
+            if num_seeds > 1 and is_main and args.save_checkpoints:
                 latest = []
                 for i in range(num_seeds):
                     vals = tracker.accumulated_values.get(f"{dataset.test}[s{i}]", {}).get(best_metric_name, [])
@@ -729,8 +799,14 @@ def run_audio_training(
                         latest.append((vals[-1], i))
                 if latest:
                     best_now, best_i = min(latest)
-                    if best_multiseed_value is None or best_now < best_multiseed_value:
+                    improved = best_multiseed_value is None or best_now < best_multiseed_value
+                    if improved:
+                        # record from the FIRST eval epoch so a later save is
+                        # gated against the full history (the single-seed path
+                        # compares against all previous evals); saving itself
+                        # still starts after the first eval, like the reference
                         best_multiseed_value = best_now
+                    if improved and epoch > args.test_every:
                         save_run(
                             str(run_dir),
                             model=model,

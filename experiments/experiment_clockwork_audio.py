@@ -139,7 +139,11 @@ def main():
         model, args, max_timesteps=args.generate_frames, method_kwargs=dict(use_mode_observations=True)
     )
 
-    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    pipeline = build_audio_pipeline(
+        args, n_devices=args.n_devices or jax.device_count(),
+        # reference eval-loader geometry for this family (see build_audio_pipeline)
+        eval_batch="train", eval_shuffle=True, eval_split_bs_mult=3,
+    )
     run_audio_training(
         args,
         model,

@@ -118,7 +118,11 @@ def main():
     # experiment_srnn_audio.py:281-286 generates 128000//stack_frames steps)
     post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames // args.stack_frames)
 
-    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    pipeline = build_audio_pipeline(
+        args, n_devices=args.n_devices or jax.device_count(),
+        # reference eval-loader geometry for this family (see build_audio_pipeline)
+        eval_batch="train", eval_shuffle=False, eval_split_bs_mult=3,
+    )
     add_statistics_normalization(args, pipeline)
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, script_name="srnn_audio",

@@ -95,7 +95,11 @@ def run(args):
 
     post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames)
 
-    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    pipeline = build_audio_pipeline(
+        args, n_devices=args.n_devices or jax.device_count(),
+        # reference eval-loader geometry for this family (see build_audio_pipeline)
+        eval_batch="2xtrain", eval_shuffle=True, eval_split_bs_mult=1,
+    )
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",
         tp_rules=STCN_TP_RULES, state_carry_eval=state_carry_eval, seq_parallel_ok=True,
@@ -106,6 +110,7 @@ def run(args):
         pp_adapter_factory=lambda n_stages, n_micro: STCNPipelineAdapter(
             model, n_stages=n_stages, n_micro=n_micro
         ),
+        eval_offset=1,  # reference evals at (epoch-1) % test_every == 0 (experiment_stcn_audio.py:247)
     )
 
 

@@ -139,11 +139,16 @@ def main():
     # experiment_vrnn_audio.py:272-276 generates 128000//stack_frames steps)
     post_eval_hook = make_generation_hook(model, args, max_timesteps=args.generate_frames // args.stack_frames)
 
-    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    pipeline = build_audio_pipeline(
+        args, n_devices=args.n_devices or jax.device_count(),
+        # reference eval-loader geometry for this family (see build_audio_pipeline)
+        eval_batch="train", eval_shuffle=False, eval_split_bs_mult=3,
+    )
     add_statistics_normalization(args, pipeline)
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, script_name="vrnn_audio",
         state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
+        eval_offset=1,  # reference evals at (epoch-1) % test_every == 0 (experiment_vrnn_audio.py:239)
     )
 
 

@@ -91,7 +91,11 @@ def main():
 
     from blvm_tpu.parallel import WAVENET_TP_RULES, WaveNetPipelineAdapter
 
-    pipeline = build_audio_pipeline(args, n_devices=args.n_devices or jax.device_count())
+    pipeline = build_audio_pipeline(
+        args, n_devices=args.n_devices or jax.device_count(),
+        # reference eval-loader geometry for this family (see build_audio_pipeline)
+        eval_batch="train", eval_shuffle=True, eval_split_bs_mult=3,
+    )
     run_audio_training(
         args, model, pipeline, loss_fn, script_name="wavenet_audio",
         state_carry_eval=state_carry_eval, post_eval_hook=post_eval_hook,
@@ -100,6 +104,7 @@ def main():
         pp_adapter_factory=lambda n_stages, n_micro: WaveNetPipelineAdapter(
             model, n_stages=n_stages, n_micro=n_micro
         ),
+        eval_offset=1,  # reference evals at (epoch-1) % test_every == 0 (experiment_wavenet_audio.py:216)
     )
 
 

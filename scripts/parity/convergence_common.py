@@ -1,0 +1,191 @@
+"""Shared pieces of the long-horizon convergence parity harness.
+
+The harness runs the ACTUAL torch reference driver
+(``/root/reference/experiments/experiment_<family>_audio.py``) and this repo's
+driver on the same synthetic dataset for hundreds of optimizer steps — live
+length-bucketed sampler, live lr schedule (epoch-stepped MultiStepLR), live
+beta/free-nats annealers — from transplanted initial weights, then asserts
+the bits/frame trajectories agree. This catches slow training-dynamics drift
+(annealer off-by-ones, schedule units, sampler composition) that the 4-step
+train-step parity (``tests/parity/test_parity_train_step.py``) cannot see.
+
+Batch-plan identity between the two frameworks is made exact by construction:
+``--sampler_shared_rng`` reproduces the reference's global-``random`` sampler
+stream (tests/data/test_batchers_samplers.py::TestReferenceSamplerStreamParity)
+and both legs assert the per-forward ``x_sl`` signatures match, so the metric
+comparison is a true apples-to-apples trajectory comparison.
+"""
+
+import json
+import os
+import wave
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DATA_DIR = "/tmp/convergence_data"
+
+# Synthetic-dataset geometry. All lengths DISTINCT: the reference sorts lengths
+# with a non-stable argsort while we sort stably — ties could permute pools.
+N_TRAIN, N_VALID, N_TEST = 48, 8, 8
+
+
+def family_config(family: str) -> dict:
+    """CLI args shared by both legs, plus per-leg extras.
+
+    Sized so the run is ≥ ~250 optimizer steps with every schedule live inside
+    the window: ~13 length-packed batches/epoch (batch_len=16000 over 48 clips
+    of 2-6.5k samples), MultiStepLR milestone at epoch 12, VRNN beta/free-nats
+    annealers sweeping over the first ~150/100 steps.
+    """
+    if family == "lstm":
+        return dict(
+            driver="experiment_lstm_audio.py",
+            epochs=25,
+            test_every=5,
+            seed=1234,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                "--batch_len", "1.0",
+                "--stack_size", "64",
+                "--hidden_size", "64",
+                "--num_layers", "1",
+                "--num_mix", "2",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.lstm:LSTMAudio",
+            patch_rsample=False,
+            # our LSTMAudio transplant (tests/parity/test_parity_lstm.py)
+            transplant="lstm",
+            model_kwargs=dict(stack_size=64, hidden_size=64, num_layers=1, num_mix=2, num_bins=2**16),
+            metric_keys=("loss", "bpd"),
+        )
+    if family == "vrnn":
+        return dict(
+            driver="experiment_vrnn_audio.py",
+            epochs=24,
+            test_every=5,
+            seed=4321,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                "--batch_len", "1.0",
+                "--stack_frames", "64",
+                "--hidden_size", "64",
+                "--latent_size", "16",
+                "--likelihood", "DMoL",
+                # the reference VRNNAudio DMoL head hardcodes num_mix=10
+                # (vrnn.py:464-468) — any other --num_mix crashes it
+                "--num_mix", "10",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                "--beta_anneal_steps", "150",
+                "--beta_start_value", "0",
+                "--free_nats_steps", "100",
+                "--free_nats_start_value", "2.0",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                "--max_grad_norm", "3000.0",
+                "--max_grad_value", "1000.0",
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.vrnn:VRNNAudio",
+            patch_rsample=True,
+            transplant="vrnn",
+            model_kwargs=dict(likelihood="DMoL", input_size=64, hidden_size=64, latent_size=16, num_mix=10, num_bins=2**16),
+            metric_keys=("loss", "bpd", "elbo", "rec", "kl", "beta", "free_nats"),
+        )
+    raise ValueError(family)
+
+
+def make_dataset(root: str = DATA_DIR) -> dict:
+    """Write WAV clips + train/valid/test source CSVs; return split → CSV path.
+
+    Waveforms carry learnable structure (per-file random sinusoid mixtures +
+    small noise) so the loss visibly decreases over the run. Deterministic
+    (seeded numpy), all lengths distinct.
+    """
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(2024)
+    paths = {}
+    offsets = {"train": 0, "valid": 1000, "test": 2000}
+    counts = {"train": N_TRAIN, "valid": N_VALID, "test": N_TEST}
+    for split, count in counts.items():
+        rows = ["filename,length.wav.samples"]
+        # distinct lengths 2000..6500, unique across ALL splits (offset per split)
+        lengths = (2000 + offsets[split] // 500 + 93 * rng.permutation(count) + np.arange(count)).tolist()
+        for i, n in enumerate(lengths):
+            n = int(n)
+            freqs = rng.uniform(80, 2000, size=3)
+            amps = rng.uniform(0.05, 0.25, size=3)
+            t = np.arange(n) / 16000.0
+            x = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+            x = x + 0.02 * rng.standard_normal(n)
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+            stem = os.path.join(root, f"{split}_{i:03d}")
+            with wave.open(stem + ".wav", "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            rows.append(f"{stem},{n}")
+        csv_path = os.path.join(root, f"{split}.txt")
+        with open(csv_path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        paths[split] = csv_path
+    return paths
+
+
+def synth_namespace(paths: dict):
+    """A DATASETS-registry entry (same shape both sides) for the synthetic set."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        name="synth",
+        train=paths["train"],
+        valid=paths["valid"],
+        test=paths["test"],
+        valid_sets=[paths["valid"]],
+        test_sets=[paths["test"]],
+        audio_ext="wav",
+        audio_length="length.wav.samples",
+    )
+
+
+def sanitize(obj):
+    """Deep-convert a wandb.log / metrics payload to JSON-able scalars."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            v = sanitize(v)
+            if v is not None:
+                out[str(k)] = v
+        return out
+    if isinstance(obj, (list, tuple)):
+        vals = [sanitize(v) for v in obj]
+        return [v for v in vals if v is not None] or None
+    if isinstance(obj, (int, float, str, bool)) or obj is None:
+        return obj
+    try:  # torch tensors / numpy scalars
+        if hasattr(obj, "numel") and obj.numel() == 1:
+            return float(obj)
+        if np.ndim(obj) == 0:
+            return float(obj)
+    except Exception:
+        pass
+    return None
+
+
+def write_json(path, payload):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)

@@ -1,0 +1,185 @@
+"""Torch leg of the convergence parity harness: run the ACTUAL reference
+driver script (``/root/reference/experiments/experiment_<family>_audio.py``)
+on the synthetic dataset, recording
+
+  * the model's INITIAL state_dict (captured at the first forward, before any
+    update) transplanted into our flax layout and saved as a model checkpoint
+    our ``--init_checkpoint`` can load,
+  * every forward call: (training?, x_sl list, loss) — per-step trajectory +
+    batch-plan signature,
+  * every ``wandb.log`` payload — the per-epoch aggregated metrics the
+    reference's Tracker computes (``tracker.py:364-375``).
+
+Run in a fresh process with env: ``PYTORCH_JIT=0`` (so runtime rsample patches
+reach the VRNN cell), ``JAX_PLATFORMS=cpu`` (flax serialization of the
+transplant).
+
+Usage: python torch_leg.py <family> <out_dir>
+"""
+
+import copy
+import importlib
+import json
+import os
+import runpy
+import sys
+import types
+import wave as wave_mod
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+import convergence_common as cc  # noqa: E402
+
+sys.path.insert(0, cc.REPO)  # for tests.parity transplant helpers
+
+REFERENCE_DRIVERS = "/root/reference/experiments"
+
+
+def wav_stub_fns():
+    """torchaudio.load/info over stdlib ``wave`` — PCM16 mono, /32768 scaling
+    (torchaudio's int16 normalization; matches our native decoder,
+    blvm_tpu/data/loaders.py:50)."""
+    import torch
+
+    def load(path):
+        with wave_mod.open(path, "rb") as w:
+            n = w.getnframes()
+            data = np.frombuffer(w.readframes(n), "<i2").astype(np.float32) / 32768.0
+            return torch.from_numpy(data.copy()).reshape(1, -1), w.getframerate()
+
+    def info(path):
+        with wave_mod.open(path, "rb") as w:
+            return types.SimpleNamespace(
+                sample_rate=w.getframerate(),
+                num_channels=w.getnchannels(),
+                bits_per_sample=8 * w.getsampwidth(),
+                encoding="PCM_S",
+                num_frames=w.getnframes(),
+            )
+
+    return load, info
+
+
+def main(family: str, out_dir: str):
+    cfg = cc.family_config(family)
+    paths = cc.make_dataset()
+    os.makedirs(out_dir, exist_ok=True)
+
+    import torch
+
+    # --- reference package with stubs (reference_loader installs torchinfo/
+    # blessed/wandb/torchaudio/... stubs, then imports blvm) ----------------
+    from tests.parity import reference_loader as rl
+
+    blvm = rl.load_reference()
+
+    # flesh out the stub modules IN PLACE (blvm modules hold references)
+    load_fn, info_fn = wav_stub_fns()
+    ta = sys.modules["torchaudio"]
+    ta.load, ta.info = load_fn, info_fn
+
+    trace = {"steps": [], "logs": [], "family": family}
+    captured = {"model": None, "init_state": None}
+
+    wandb = sys.modules["wandb"]
+
+    class _Audio:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Run:
+        id, project, entity, dir, resumed = "convergence", "parity", None, "/", False
+
+    wandb.init = lambda *a, **k: _Run()
+    wandb.run = _Run()
+    # blvm/utils/wandb.py:60 annotates with wandb.apis.public.Run at import time
+    wandb.apis = types.SimpleNamespace(public=types.SimpleNamespace(Run=object))
+    wandb.wandb_run = types.SimpleNamespace(Run=object)
+    wandb.save = lambda *a, **k: None
+    wandb.watch = lambda model, *a, **k: captured.__setitem__("model", model)
+    wandb.log = lambda payload, *a, **k: trace["logs"].append(cc.sanitize(payload))
+    wandb.Audio = _Audio
+
+    if "rich" not in sys.modules:
+        try:
+            import rich  # noqa: F401
+        except ImportError:
+            mod = types.ModuleType("rich")
+            mod.print = print
+            sys.modules["rich"] = mod
+
+    torch.cuda.set_device = lambda *a, **k: None  # driver calls it even on cpu
+
+    # the blessed stub's Terminal answers every attr with an identity lambda;
+    # the Tracker's console line also needs an integer .width
+    class _Terminal:
+        width = 200
+
+        def __getattr__(self, name):
+            return lambda s="": s
+
+    import blvm.evaluation.tracker as ref_tracker
+
+    ref_tracker.Terminal = _Terminal
+
+    # --- dataset registry injection ---------------------------------------
+    import blvm.data.datasets as ref_datasets
+
+    ref_datasets.DATASETS["synth"] = cc.synth_namespace(paths)
+
+    # --- deterministic-mean posterior sampling (both legs patch the same) --
+    if cfg["patch_rsample"]:
+        mod_name = cfg["ref_model"].split(":")[0]
+        ref_mod = importlib.import_module(mod_name)
+        ref_mod.rsample_gaussian = lambda mu, sd: mu
+
+    # --- record every forward (class-level wrap; instance made by driver) --
+    mod_name, cls_name = cfg["ref_model"].split(":")
+    ref_cls = getattr(importlib.import_module(mod_name), cls_name)
+    orig_forward = ref_cls.forward
+
+    def recording_forward(self, x, x_sl, *a, **k):
+        if captured["init_state"] is None:
+            captured["model"] = self
+            captured["init_state"] = copy.deepcopy(self.state_dict())
+        out = orig_forward(self, x, x_sl, *a, **k)
+        x_sl_list = [int(v) for v in (x_sl.tolist() if hasattr(x_sl, "tolist") else x_sl)]
+        trace["steps"].append(
+            {"training": bool(self.training), "x_sl": x_sl_list, "loss": float(out[0].detach())}
+        )
+        return out
+
+    ref_cls.forward = recording_forward
+
+    # --- run the reference driver script, verbatim -------------------------
+    driver = os.path.join(REFERENCE_DRIVERS, cfg["driver"])
+    sys.argv = [driver, *cfg["cli"], "--epochs", str(cfg["epochs"]),
+                "--test_every", str(cfg["test_every"]), "--seed", str(cfg["seed"])]
+    runpy.run_path(driver, run_name="__main__")
+
+    # --- transplant initial weights into our layout and save ---------------
+    assert captured["init_state"] is not None, "reference driver never ran a forward"
+    if cfg["transplant"] == "lstm":
+        from tests.parity.test_parity_lstm import transplant
+
+        params = transplant(captured["init_state"], num_layers=cfg["model_kwargs"]["num_layers"])
+    else:
+        from tests.parity.test_parity_vrnn import transplant
+
+        params = transplant(captured["init_state"])
+
+    from flax import serialization
+
+    with open(os.path.join(out_dir, "model_params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+    cc.write_json(os.path.join(out_dir, "torch_trace.json"), trace)
+    n_train = sum(1 for s in trace["steps"] if s["training"])
+    print(f"[torch_leg:{family}] {n_train} train steps, {len(trace['steps']) - n_train} eval forwards, "
+          f"{len(trace['logs'])} epochs logged")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

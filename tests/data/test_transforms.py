@@ -126,3 +126,62 @@ class TestBuckets:
 
     def test_none_identity(self):
         assert bucket_length(123, None) == 123
+
+
+class TestRandomSegmentDeterminism:
+    def test_pure_function_of_seed_example_epoch(self):
+        from blvm_tpu.data.transforms import RandomSegment
+
+        x = np.arange(5000, dtype=np.float32)
+        t = RandomSegment(1000, seed=3)
+        ctx = {"example_id": "/data/ex_7", "epoch": 2}
+        a = t(x, ctx)
+        b = RandomSegment(1000, seed=3)(x, ctx)  # fresh instance, same ctx
+        np.testing.assert_array_equal(a, b)
+        assert len(a) == 1000
+
+        # different epoch or example -> (almost surely) different crop
+        c = t(x, {"example_id": "/data/ex_7", "epoch": 3})
+        d = t(x, {"example_id": "/data/ex_8", "epoch": 2})
+        assert not np.array_equal(a, c) or not np.array_equal(a, d)
+
+    def test_thread_interleaving_cannot_desync(self):
+        """Two 'hosts' cropping the same examples in different orders (as
+        loader threads would) must produce identical crops per example."""
+        from blvm_tpu.data.transforms import RandomSegment
+
+        xs = {f"ex{i}": np.arange(3000 + 17 * i, dtype=np.float32) for i in range(8)}
+        host_a = RandomSegment(512, seed=1)
+        host_b = RandomSegment(512, seed=1)
+        crops_a = {k: host_a(v, {"example_id": k, "epoch": 5}) for k, v in xs.items()}
+        crops_b = {k: host_b(v, {"example_id": k, "epoch": 5}) for k, v in reversed(list(xs.items()))}
+        for k in xs:
+            np.testing.assert_array_equal(crops_a[k], crops_b[k])
+
+    def test_dataset_set_epoch_changes_crops(self, tmp_path):
+        import csv
+        import wave
+
+        from blvm_tpu.data import AudioLoader, BaseDataset, Compose, DynamicTensorBatcher, RandomSegment
+
+        stem = tmp_path / "a"
+        data = (np.sin(np.arange(4000) / 10) * 20000).astype("<i2")
+        with wave.open(str(stem) + ".wav", "wb") as f:
+            f.setnchannels(1); f.setsampwidth(2); f.setframerate(16000)
+            f.writeframes(data.tobytes())
+        src = tmp_path / "src.txt"
+        with open(src, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["filename", "length.wav.samples"])
+            w.writeheader(); w.writerow({"filename": str(stem), "length.wav.samples": 4000})
+
+        ds = BaseDataset(
+            source=str(src),
+            modalities=[(AudioLoader("wav"), Compose(RandomSegment(1000, seed=0)), DynamicTensorBatcher())],
+        )
+        ds.set_epoch(1)
+        (x1, _) = ds[0]
+        (x1b, _) = ds[0]
+        np.testing.assert_array_equal(x1, x1b)  # same epoch -> same crop
+        ds.set_epoch(2)
+        (x2, _) = ds[0]
+        assert not np.array_equal(x1, x2)

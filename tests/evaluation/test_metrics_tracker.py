@@ -215,3 +215,38 @@ class TestTracker:
         # iowait is only available on Linux /proc; don't require it elsewhere
         if "host_iowait_percent" in line["train"]:
             assert 0.0 <= line["train"]["host_iowait_percent"] <= 100.0
+
+
+class TestDropPaddedRows:
+    def test_filters_per_example_leaves(self):
+        from blvm_tpu.evaluation.metrics import drop_padded_rows
+
+        mets = {
+            "loss": 1.5,
+            "x_sl": np.array([100, 80, 0, 0]),
+            "elbo": np.array([-10.0, -8.0, 0.0, 0.0]),
+            "klds": np.zeros((5, 4)) + np.arange(4),  # stacked per-layer (L, B)
+            "beta": 0.7,
+        }
+        out = drop_padded_rows(mets)
+        np.testing.assert_array_equal(out["x_sl"], [100, 80])
+        np.testing.assert_array_equal(out["elbo"], [-10.0, -8.0])
+        assert out["klds"].shape == (5, 2)
+        assert out["loss"] == 1.5 and out["beta"] == 0.7
+
+    def test_noop_when_unpadded(self):
+        from blvm_tpu.evaluation.metrics import drop_padded_rows
+
+        mets = {"x_sl": np.array([3, 2]), "elbo": np.array([1.0, 2.0])}
+        assert drop_padded_rows(mets) is mets
+
+    def test_per_example_means_undiluted(self):
+        """The exact failure the convergence harness caught: LLMetric over a
+        row-padded batch must equal the metric over the true rows."""
+        from blvm_tpu.evaluation.metrics import LLMetric, drop_padded_rows
+
+        true = {"x_sl": np.array([100, 80]), "elbo": np.array([-10.0, -8.0])}
+        padded = {"x_sl": np.array([100, 80, 0, 0]), "elbo": np.array([-10.0, -8.0, 0.0, 0.0])}
+        m_true = LLMetric(true["elbo"], name="elbo")
+        m_fixed = LLMetric(drop_padded_rows(padded)["elbo"], name="elbo")
+        assert m_true.value == m_fixed.value == -9.0

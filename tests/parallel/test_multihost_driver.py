@@ -60,7 +60,7 @@ def fabricate_timit(root: Path):
             w.writerows(rows)
 
 
-def driver_argv(run_dir: Path):
+def driver_argv(run_dir: Path, num_workers: int = 0, extra=()):
     return [
         sys.executable,
         str(DRIVER),
@@ -72,10 +72,11 @@ def driver_argv(run_dir: Path):
         "--hidden_size", "16",
         "--num_mix", "2",
         "--seed", "0",
-        "--num_workers", "0",
+        "--num_workers", str(num_workers),
         "--bucket_multiple", "512",
         "--run_dir", str(run_dir),
         "--save_checkpoints", "false",
+        *extra,
     ]
 
 
@@ -96,39 +97,51 @@ def read_losses(run_dir: Path):
 
 
 @pytest.mark.slow
-def test_two_process_driver_matches_single_process(tmp_path):
+@pytest.mark.parametrize(
+    "n_procs,num_workers,extra",
+    [
+        (2, 0, ()),
+        # round-3 verdict item 3, un-degraded multi-host: threaded loaders
+        # (safe now that RandomSegment crops are per-example-deterministic —
+        # the crop is live here via --random_segment_size), the IW bound, and
+        # reconstruction logging all active on a 4-process cluster
+        (4, 2, ("--random_segment_size", "1024", "--eval_iw_samples", "2")),
+    ],
+    ids=["2proc", "4proc-workers-iw-segment"],
+)
+def test_multi_process_driver_matches_single_process(tmp_path, n_procs, num_workers, extra):
     fabricate_timit(tmp_path)
 
-    # --- single process, 2 virtual devices ---------------------------------
+    # --- single process, n virtual devices ---------------------------------
     run_single = tmp_path / "run_single"
     env = base_env(tmp_path)
-    env_single = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env_single = dict(env, XLA_FLAGS=f"--xla_force_host_platform_device_count={n_procs}")
     out = subprocess.run(
-        driver_argv(run_single) + ["--n_devices", "2"],
+        driver_argv(run_single, num_workers, extra) + ["--n_devices", str(n_procs)],
         env=env_single, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, f"single-process driver failed:\n{out.stdout}\n{out.stderr}"
 
-    # --- two processes, 1 device each, joined via the driver's dist flags ---
+    # --- n processes, 1 device each, joined via the driver's dist flags -----
     run_multi = tmp_path / "run_multi"
     port = free_port()
     procs = [
         subprocess.Popen(
-            driver_argv(run_multi)
+            driver_argv(run_multi, num_workers, extra)
             + [
                 "--dist_coordinator", f"127.0.0.1:{port}",
-                "--dist_num_processes", "2",
+                "--dist_num_processes", str(n_procs),
                 "--dist_process_id", str(pid),
             ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"multi-host driver process failed:\n{o}"
 
-    # process 0 is the system of record; process 1 must write nothing
+    # process 0 is the system of record; other processes must write nothing
     assert (run_multi / "metrics.jsonl").exists()
     single, multi = read_losses(run_single), read_losses(run_multi)
     assert len(single) == len(multi) == 2
@@ -136,3 +149,17 @@ def test_two_process_driver_matches_single_process(tmp_path):
         assert ep_s.keys() == ep_m.keys()
         for source in ep_s:
             np.testing.assert_allclose(ep_m[source], ep_s[source], rtol=1e-6, err_msg=source)
+
+    if "--eval_iw_samples" in extra:
+        # the IW bound must be logged under multi-host (round-3: disabled) and
+        # equal the single-process value; reconstruction wavs must exist
+        iw_key = "iw_2 (bpf)"
+        for run in (run_single, run_multi):
+            lines = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+            assert any(
+                iw_key in v for line in lines for v in line.values() if isinstance(v, dict)
+            ), f"{run}: IW metric missing"
+        s_iw = [v[iw_key] for line in [json.loads(l) for l in (run_single / "metrics.jsonl").read_text().splitlines()] for v in line.values() if isinstance(v, dict) and iw_key in v]
+        m_iw = [v[iw_key] for line in [json.loads(l) for l in (run_multi / "metrics.jsonl").read_text().splitlines()] for v in line.values() if isinstance(v, dict) and iw_key in v]
+        np.testing.assert_allclose(m_iw, s_iw, rtol=1e-5)
+        assert list((run_multi / "audio").glob("*.wav")), "multi-host reconstruction wavs missing"

@@ -211,10 +211,11 @@ class TestPipelinedForwardEquivalence:
         mesh = make_mesh(4, pipe_axis_size=4)
         with pytest.raises(ValueError):
             WaveNetPipelineAdapter(model, n_stages=4, n_micro=2).make_loss_fn(mesh)
-        # no composition with seq/model axes yet
-        mesh_sp = make_mesh(8, pipe_axis_size=2, seq_axis_size=2)
+        # no composition with the model axis yet (pp x sp composes — see
+        # TestPipelineSeqComposition)
+        mesh_mp = make_mesh(8, pipe_axis_size=2, model_axis_size=2)
         with pytest.raises(ValueError):
-            WaveNetPipelineAdapter(model, n_stages=2, n_micro=2).make_loss_fn(mesh_sp)
+            WaveNetPipelineAdapter(model, n_stages=2, n_micro=2).make_loss_fn(mesh_mp)
         # embedding-input configs unsupported
         emb = WaveNet(n_layers=3, n_stacks=2, res_channels=16, embedding_dim=4, likelihood="categorical")
         with pytest.raises(ValueError):
@@ -373,3 +374,94 @@ class TestPPTrainStep:
             ]
         assert mus, "no Adam mu leaf found for stages/block_0"
         assert all(m.sharding.spec == P("pipe") for m in mus)
+
+
+class TestPipelineSeqComposition:
+    """pp x sp (round-3 verdict item 4): the adapters turn time shards into
+    overlap-window batch rows (seq_windows), so the GPipe engine shards rows
+    over the (data, seq) mesh axes — depth AND time sharded together. Loss,
+    metrics and gradients must equal the monolithic single-device forward."""
+
+    def test_seq_windows_roundtrip(self):
+        from blvm_tpu.parallel.pipeline_parallel import seq_unwindows, seq_windows
+
+        B, skip, overlap, seq, C = 3, 32, 5, 4, 2
+        h = jnp.asarray(np.random.default_rng(0).normal(size=(B, skip + overlap, C)), jnp.float32)
+        rows = seq_windows(h, seq, overlap)
+        assert rows.shape == (B * seq, skip // seq + overlap, C)
+        # each row's owned slice is the matching slice of the global skip region
+        owned = seq_unwindows(rows[:, overlap:], seq)
+        np.testing.assert_array_equal(np.asarray(owned), np.asarray(h[:, overlap:]))
+        # each row carries the receptive-field history of its slice
+        np.testing.assert_array_equal(
+            np.asarray(rows[1, :overlap]), np.asarray(h[0, skip // seq : skip // seq + overlap])
+        )
+
+    def test_wavenet_pp_sp_loss_and_grads(self):
+        model = WaveNet(n_layers=3, n_stacks=2, res_channels=16, num_mix=3)
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T)
+        params = init_params(model, x, x_sl)
+
+        loss_s, mets_s, _ = jax.jit(
+            lambda p: model.apply({"params": p}, x, x_sl, rngs={"sample": jax.random.PRNGKey(0)})
+        )(params)
+
+        mesh = make_mesh(8, pipe_axis_size=2, seq_axis_size=2)
+        adapter = WaveNetPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, (mets_p, _) = jax.jit(loss_fn)(adapter.to_pipeline(params), jax.random.PRNGKey(0), batch, {})
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mets_p["log_prob"]), np.asarray(mets_s["log_prob"]), rtol=1e-5
+        )
+
+        g_p = jax.jit(jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(0), batch, {})[0]))(
+            adapter.to_pipeline(params)
+        )
+        g_s = jax.jit(
+            jax.grad(lambda p: model.apply({"params": p}, x, x_sl, rngs={"sample": jax.random.PRNGKey(0)})[0])
+        )(params)
+        fp, fs = flat(from_pipeline_params(g_p, 2)), flat(g_s)
+        assert fp.keys() == fs.keys()
+        for k in fs:
+            np.testing.assert_allclose(np.asarray(fp[k]), np.asarray(fs[k]), rtol=2e-5, atol=1e-7, err_msg=k)
+
+    def test_stcn_pp_sp_loss_and_grads(self):
+        # STCN: the capacity-bound family this composition exists for
+        model = STCN(n_layers=4, latent_size=(8, 4), n_stacks=2, res_channels=16)
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T)
+        params = init_params(model, x, x_sl)
+        loss_s, mets_s, _ = jax.jit(
+            lambda p: model.apply(
+                {"params": p}, x, x_sl, beta=0.7, free_nats=0.1, rngs={"sample": jax.random.PRNGKey(0)}
+            )
+        )(params)
+
+        mesh = make_mesh(8, pipe_axis_size=2, seq_axis_size=2)
+        adapter = STCNPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, (mets_p, _) = jax.jit(loss_fn)(
+            adapter.to_pipeline(params), jax.random.PRNGKey(0), batch, {"beta": 0.7, "free_nats": 0.1}
+        )
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mets_p["log_prob"]), np.asarray(mets_s["log_prob"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(mets_p["kld"]), np.asarray(mets_s["kld"]), rtol=1e-5)
+
+        g_p = jax.jit(
+            jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(0), batch, {"beta": 0.7, "free_nats": 0.1})[0])
+        )(adapter.to_pipeline(params))
+        g_s = jax.jit(
+            jax.grad(
+                lambda p: model.apply(
+                    {"params": p}, x, x_sl, beta=0.7, free_nats=0.1, rngs={"sample": jax.random.PRNGKey(0)}
+                )[0]
+            )
+        )(params)
+        fp, fs = flat(from_pipeline_params(g_p, 2)), flat(g_s)
+        assert fp.keys() == fs.keys()
+        for k in fs:
+            np.testing.assert_allclose(np.asarray(fp[k]), np.asarray(fs[k]), rtol=2e-5, atol=1e-7, err_msg=k)
