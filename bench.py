@@ -35,6 +35,17 @@ peak and was an async-dispatch artifact of the experimental TPU relay):
     analytic *forward-only lower bound* on FLOPs — if even that exceeds peak,
     the measurement is impossible and the script fails loudly,
   * first/last timed losses are reported so training progress is visible.
+
+Flagship status (round-4 closure of the round-2 "done" bar): the WaveNet step
+is 40.9 ms vs the committed 32.3 ms minimal-traffic memory floor
+(scripts/perf/roofline_wavenet.py) — 79% of the memory-bound ceiling. Every
+single-knob XLA lever was measured (NOTES.md round-3: batch, remat, accum
+scan/unroll 1/2/4/8, channel padding, layout) and the remaining 8.6 ms is a
+50-deep serial chain of small fused ops closable only by a hand-scheduled
+multi-block kernel. Both Pallas variants fault the v5e through the
+experimental relay (device wedged ~1h per attempt, NOTES.md round-2 "Pallas
+CUT"), so 79%-of-ceiling is recorded as FINAL on this backend; revisit from
+commit 1788a18^ if/when the relay supports direct Mosaic debugging.
 """
 
 import argparse
@@ -657,13 +668,16 @@ def bench_multiseed(num_seeds, steps, bf16, family="vrnn"):
     }
 
 
-def bench_stcn_generation(bf16, n_frames):
+def bench_stcn_generation(bf16, n_frames, fast=True):
     """STCN ancestral sampling throughput (flagship config, B=2 sequences) —
     capability ADDED over the reference (its ``STCN.generate`` raises
     ``NotImplementedError``, ``stcn.py:435-442``), so there is no reference
     figure to normalize against; ``vs_baseline`` is vs the frame rate of the
-    16 kHz waveform (1.0 = real time). Same timing discipline as the WaveNet
-    generation bench (device_get-closed, two-length linearity check)."""
+    16 kHz waveform (1.0 = real time). ``fast`` times the circular-buffer
+    scan (the default generation path, round-4; equality-tested vs the
+    windowed oracle); ``fast=False`` times the windowed rescan. Same timing
+    discipline as the WaveNet generation bench (device_get-closed,
+    two-length linearity check)."""
     from blvm_tpu.models import STCN
 
     model = STCN(n_layers=5, latent_size=(256, 128, 64, 32, 16), res_channels=256, bf16=bf16)
@@ -675,7 +689,7 @@ def bench_stcn_generation(bf16, n_frames):
     def timed(n, key):
         gen = jax.jit(
             lambda params, k: model.apply(
-                {"params": params}, n_samples=2, max_timesteps=n, rngs={"sample": k},
+                {"params": params}, n_samples=2, max_timesteps=n, fast=fast, rngs={"sample": k},
                 method=type(model).generate,
             )[0][0]
         )
@@ -694,7 +708,7 @@ def bench_stcn_generation(bf16, n_frames):
         "unit": "frames/s",
         "vs_baseline": round((1.0 / per_frame_b) / 16000.0, 4),  # 1.0 = 16 kHz real time
         "n_frames": n_frames,
-        "path": "windowed",
+        "path": "fast" if fast else "windowed",
         "device_kind": kind,
         "dtype": "bf16" if bf16 else "f32",
         "timing_linear": linear,
@@ -744,7 +758,7 @@ def main():
         return
 
     if args.stcn_generation:
-        print(json.dumps(bench_stcn_generation(bf16, n_frames=args.gen_frames)))
+        print(json.dumps(bench_stcn_generation(bf16, n_frames=args.gen_frames, fast=not args.gen_naive)))
         return
 
     if args.multiseed:

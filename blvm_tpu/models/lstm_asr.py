@@ -89,6 +89,11 @@ class SimpleLSTMASR(BaseModel):
         z_sl = np.asarray(mets["z_sl"])
         y = np.asarray(mets["y"])
         y_sl = np.asarray(mets["y_sl"])
+        # drop zero-length padded rows (device-multiple/bucket padding): their
+        # empty refs would dilute WER/CER and their hyps are garbage
+        active = y_sl > 0
+        if not active.all():
+            logits, z_sl, y, y_sl = logits[active], z_sl[active], y[active], y_sl[active]
 
         hyps_raw = greedy_ctc(logits, z_sl, blank=self.blank_index)
         hyps = [token_map.decode(h, " ") for h in hyps_raw]

@@ -72,6 +72,13 @@ class DiagonalGaussianDenseSTCN(nn.Module):
         return mu, sd
 
 
+# Unroll factor of the fast-generation inner block scans. The per-frame step
+# is ISSUE-latency-bound (~175 tiny ops at B=2), so both stacks unroll fully —
+# at 25+5 blocks the compile stays manageable (WaveNet's 50-block stack is the
+# one that needed a partial unroll, wavenet.py:_BLOCK_UNROLL)
+_BLOCK_UNROLL = 25
+
+
 class STCN(BaseModel):
     likelihood: str = "DMoL"
     in_channels: int = 1
@@ -372,9 +379,20 @@ class STCN(BaseModel):
         max_timesteps: int = 100,
         use_mode_observations: bool = False,
         x: Optional[jnp.ndarray] = None,
+        fast: bool = True,
     ):
         """Ancestral sampling — capability ADDED over the reference, whose
         ``STCN.generate`` raises ``NotImplementedError`` (``stcn.py:435-442``).
+
+        ``fast=True`` (default): Fast-WaveNet-style per-block circular history
+        buffers as the ``lax.scan`` carry for BOTH conv stacks — the dilated
+        encoder (buffers of size ``dilation``) and the non-dilated decode
+        stack (buffers of one column) — so each emitted frame costs
+        O(n_blocks·C²) instead of a full receptive-field window re-scan
+        (O(rf·n_blocks·C²), the round-3 path measured below real time at
+        14k frames/s). Same keys, same contractions, same sample stream as
+        the windowed oracle (equality-tested). Falls back to the windowed
+        scan for stacked-frame or k≠2 configs.
 
         Per emitted stack-frame column: a receptive-field window forward
         through the encoder stack (FIFO window, one ``lax.scan`` over columns
@@ -393,6 +411,9 @@ class STCN(BaseModel):
         rf = self.receptive_field
         n = self._n_latents
         dtype = jnp.bfloat16 if self.bf16 else None
+
+        if fast and self.kernel_size == 2 and s == 1:
+            return self._generate_fast(n_samples, max_timesteps, use_mode_observations, x)
 
         if x is None:
             window = jnp.zeros((n_samples, rf, s), jnp.float32)
@@ -459,6 +480,166 @@ class STCN(BaseModel):
         n_steps = max(1, max_timesteps // s) if s > 1 else max_timesteps
         _, preds = jax.lax.scan(step, (window, z_window0), jax.random.split(key, n_steps))
         x_out = jnp.moveaxis(preds, 0, 1).reshape(B, -1)  # (B, n_steps*s)
+        x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)
+        return (x_out, x_sl), SimpleNamespace()
+
+    def _generate_fast(self, n_samples, max_timesteps, use_mode_observations, x):
+        """Circular-buffer ancestral sampling (the Fast-WaveNet recipe applied
+        to both STCN stacks; ``wavenet.py:_generate_fast`` is the template).
+
+        Priming: ONE windowed forward of the encoder over the rf history
+        window seeds the dilated blocks' circular buffers (``collect_tails``)
+        and yields frame 0's conditioning columns; one windowed forward of the
+        decode stack over the all-zero initial z-window seeds its buffers —
+        the windowed oracle decodes ``[z_window0[1:], z0]`` at step 0, which
+        is exactly what feeding ``z0`` after priming on ``z_window0``
+        computes. Key schedule mirrors the oracle step for step (split per
+        frame, ``fold_in`` per latent level), so the sample stream is
+        identical.
+        """
+        rf = self.receptive_field
+        n = self._n_latents
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+
+        if x is None:
+            window = jnp.zeros((n_samples, rf, self.in_channels), jnp.float32)
+        else:
+            if x.shape[0] == 1 and n_samples > 1:
+                x = jnp.repeat(x, n_samples, axis=0)
+            if x.ndim == 2:
+                x = x[..., None]
+            pad = max(0, rf - x.shape[1])
+            window = jnp.pad(x[:, -rf:], ((0, 0), (pad, 0), (0, 0)))
+        B = window.shape[0]
+
+        n_blocks = self.n_layers * self._n_stacks
+        used = list(range(n - 1, n_blocks, n))[:n]
+        skip_mask = [i in set(used) for i in range(n_blocks)]
+        order = list(reversed(range(n))) if self.top_down else list(range(n))
+
+        key = self.make_rng("sample")
+        step_keys = jax.random.split(key, max_timesteps)
+
+        def sample_z(d_cols, k_z):
+            z = [None] * n
+            for i, l in enumerate(order):
+                if i == 0:
+                    in_p = d_cols[l]
+                else:
+                    l_cond = l + 1 if self.top_down else l - 1
+                    in_p = jnp.concatenate([d_cols[l], z[l_cond].astype(d_cols[l].dtype)], axis=-1)
+                mu_p, sd_p = self.priors[l](in_p)
+                z[l] = rsample_gaussian(jax.random.fold_in(k_z, l), mu_p, sd_p)
+            return jnp.concatenate(z, axis=-1) if self.dense else z[0]
+
+        # ---- prime the ENCODER: windowed forward, collect per-block tails ----
+        enc_out = self.causal(window, pad_causal=False)
+        skips, enc_tails = self.res_stack(enc_out, 1, collect_tails=True, skip_mask=skip_mask)
+        d_cols0 = skips[n - 1 :: n][:n]
+
+        # ---- prime the DECODE stack on the all-zero initial z-window ---------
+        z_window0 = jnp.zeros((B, self._out_rf, sum(self.latent_size)), jnp.float32)
+        z_dec0 = z_window0.astype(dtype) if self.bf16 else z_window0
+        _, dec_tails = self.out_transform(z_dec0, 1, collect_tails=True)
+
+        # ---- stack per-block params on a leading block axis -------------------
+        inv_std_block = math.sqrt(0.5)
+        R = self.res_channels
+
+        def pack(rs_params, blocks):
+            per = [rs_params[f"Conv1dResidualGLU_{i}"] for i in range(blocks)]
+
+            def stacked(name):
+                return jnp.stack([b[name] for b in per]).astype(dtype)
+
+            w_t, w_s = stacked("gate_kernel_t"), stacked("gate_kernel_s")
+            b_t, b_s = stacked("gate_bias_t"), stacked("gate_bias_s")
+            w_old = jnp.concatenate([w_t[:, 0], w_s[:, 0]], axis=-1)  # (L, C, 2*half)
+            w_cur = jnp.concatenate([w_t[:, 1], w_s[:, 1]], axis=-1)
+            # both taps as ONE dot: [old | h] @ [[w_old], [w_cur]] — the step
+            # is issue-bound, so one (2C, 2*half) dot beats two (C, 2*half)
+            w_oc = jnp.concatenate([w_old, w_cur], axis=1)  # (L, 2C, 2*half)
+            b_gate = jnp.concatenate([b_t, b_s], axis=-1)
+            w_rs, b_rs = stacked("rs_kernel"), stacked("rs_bias")
+            in_k = rs_params["Conv1d_0"]["kernel"].astype(dtype)
+            in_b = rs_params["Conv1d_0"]["bias"].astype(dtype)
+            half = w_t.shape[-1]
+            return (w_oc, b_gate, w_rs, b_rs), in_k, in_b, half
+
+        enc_rs = self.res_stack.variables["params"]
+        dec_rs = self.out_transform.variables["params"]
+        enc_w, enc_in_k, enc_in_b, enc_half = pack(enc_rs, n_blocks)
+        dec_w, dec_in_k, dec_in_b, dec_half = pack(dec_rs, self.n_layers)
+
+        causal_params = self.causal.variables["params"]["Conv1d_0"]
+        ck, cb = causal_params["kernel"], causal_params["bias"]
+
+        dilations = ResidualStack.build_dilations(self.n_layers, self._n_stacks, self.base_dilation)
+        max_d = max(dilations)
+        dil_arr = jnp.asarray(dilations, jnp.int32)
+        enc_bufs0 = jnp.stack(
+            [jnp.pad(t.astype(dtype), ((0, 0), (0, max_d - d), (0, 0))) for t, d in zip(enc_tails, dilations)]
+        )
+        dec_bufs0 = jnp.stack([t.astype(dtype) for t in dec_tails])  # (L_dec, B, 1, C)
+        used_arr = used  # static python ints
+
+        def enc_block_step(h, xs):
+            woc, bg, wrs, brs, buf, slot = xs
+            old = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)
+            new_buf = jax.lax.dynamic_update_slice_in_dim(buf, h, slot, axis=1)
+            gate = jnp.concatenate([old, h], axis=-1) @ woc + bg
+            act = jnp.tanh(gate[..., :enc_half]) * jax.nn.sigmoid(gate[..., enc_half:])
+            rs = act @ wrs[0] + brs
+            r, s_ = rs[..., :R], rs[..., R:]
+            return (h + r) * inv_std_block, (new_buf, s_)
+
+        def dec_block_step(carry, xs):
+            h, acc = carry
+            woc, bg, wrs, brs, buf = xs
+            old = buf  # non-dilated: the previous column IS the buffer
+            gate = jnp.concatenate([old, h], axis=-1) @ woc + bg
+            act = jnp.tanh(gate[..., :dec_half]) * jax.nn.sigmoid(gate[..., dec_half:])
+            rs = act @ wrs[0] + brs
+            r, s_ = rs[..., :R], rs[..., R:]
+            # skip accumulation in block order (matches the windowed
+            # ``sum(at_least_f32(sl) for sl in skip_logits)``)
+            return ((h + r) * inv_std_block, acc + at_least_f32(s_)), h
+
+        def decode_step(z_col, dec_bufs, k_x):
+            z_in = z_col.astype(dtype) if self.bf16 else z_col
+            h0 = z_in.astype(dtype) @ dec_in_k[0] + dec_in_b
+            acc0 = jnp.zeros((B, 1, R), jnp.float32)
+            (_, acc), new_bufs = jax.lax.scan(dec_block_step, (h0, acc0), (*dec_w, dec_bufs), unroll=True)
+            logits = self.out_upsample(acc * self.inv_std)  # (B, 1, D)
+            params = self.likelihood_module(logits)
+            if use_mode_observations:
+                pred = self.likelihood_module.mode(params)
+            else:
+                pred = self.likelihood_module.rsample(k_x, params)
+            return pred, new_bufs
+
+        # ---- frame 0: conditioning from the prime, decode via the fast step --
+        k_z0, k_x0 = jax.random.split(step_keys[0])
+        z0 = sample_z(d_cols0, k_z0)
+        pred0, dec_bufs1 = decode_step(z0, dec_bufs0, k_x0)
+
+        def step(carry, step_key):
+            prev2, prev1, enc_bufs, dec_bufs, idx = carry
+            k_z, k_x = jax.random.split(step_key)
+            c = prev2 @ ck[0] + prev1 @ ck[1] + cb  # causal k=2 conv column
+            h0 = c.astype(dtype) @ enc_in_k[0] + enc_in_b
+            slots = jax.lax.rem(idx, dil_arr)
+            _, (new_enc_bufs, s_all) = jax.lax.scan(
+                enc_block_step, h0, (*enc_w, enc_bufs, slots), unroll=_BLOCK_UNROLL
+            )
+            d_cols = [s_all[g] for g in used_arr]
+            z_col = sample_z(d_cols, k_z)
+            pred, new_dec_bufs = decode_step(z_col, dec_bufs, k_x)
+            return (prev1, pred.reshape(B, 1, 1), new_enc_bufs, new_dec_bufs, idx + 1), pred
+
+        carry0 = (window[:, -1:], pred0.reshape(B, 1, 1), enc_bufs0, dec_bufs1, jnp.int32(0))
+        _, preds = jax.lax.scan(step, carry0, step_keys[1:])
+        x_out = jnp.concatenate([pred0.reshape(B, -1), jnp.moveaxis(preds, 0, 1).reshape(B, -1)], axis=1)
         x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)
         return (x_out, x_sl), SimpleNamespace()
 

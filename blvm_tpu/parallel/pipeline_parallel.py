@@ -121,34 +121,45 @@ def stack_consumed(n_layers: int, n_stacks: int, kernel_size: int, base_dilation
     return sum(d * (kernel_size - 1) for d in ResidualStack.build_dilations(n_layers, n_stacks, base_dilation))
 
 
-def seq_windows(h, seq: int, overlap: int):
+def seq_windows(h, seq: int, overlap: int, shared: int = 0):
     """Overlap-window sequence sharding: turn time shards into extra batch rows.
 
     ``h``: the stack input ``(B, skip + overlap, C)`` (the last ``skip`` frames
     are the positions the skips/output read; the first ``overlap`` frames are
-    history). Returns ``(B*seq, skip/seq + overlap, C)`` where row ``b*seq+i``
-    owns skip slice ``i`` of example ``b`` AND carries its own receptive-field
-    history — so the pipeline engine needs NO per-block halo exchange and
-    pp x sp reduces to row sharding over the (data, seq) mesh axes. The
-    redundant compute is ``overlap / (skip/seq)`` (flagship STCN at T=16000,
-    seq=4: 155/4000 ≈ 4%); the owned outputs are the same contractions as the
-    monolithic form, so loss AND gradients are exact (each input frame's
-    gradient flows through every window that reads it — the same multiset of
-    products as the monolithic conv).
+    history). Returns ``(B*seq, (skip-shared)/seq + shared + overlap, C)``
+    where row ``b*seq+i`` owns skip slice ``i`` of example ``b`` AND carries
+    its own receptive-field history — so the pipeline engine needs NO
+    per-block halo exchange and pp x sp reduces to row sharding over the
+    (data, seq) mesh axes. The redundant compute is ``overlap / (skip/seq)``
+    (flagship STCN at T=16000, seq=4: 155/4000 ≈ 4%); the owned outputs are
+    the same contractions as the monolithic form, so loss AND gradients are
+    exact (each input frame's gradient flows through every window that reads
+    it — the same multiset of products as the monolithic conv).
+
+    ``shared``: boundary skip frames adjacent shards both compute. STCN's
+    skips carry T+1 frames (the one-frame prior/posterior shift,
+    ``models/stcn/stcn.py:infer``), so consecutive shards share one frame
+    (``shared=1``); :func:`seq_unwindows` drops the duplicate on reassembly.
     """
     B, T_buf, C = h.shape
     skip = T_buf - overlap
-    if skip % seq != 0:
-        raise ValueError(f"skip region ({skip}) not divisible by seq axis ({seq})")
-    loc = skip // seq
-    rows = [h[:, i * loc : i * loc + loc + overlap] for i in range(seq)]
-    return jnp.stack(rows, axis=1).reshape(B * seq, loc + overlap, C)
+    if (skip - shared) % seq != 0:
+        raise ValueError(f"skip region ({skip} - shared {shared}) not divisible by seq axis ({seq})")
+    loc = (skip - shared) // seq
+    width = loc + shared + overlap
+    rows = [h[:, i * loc : i * loc + width] for i in range(seq)]
+    return jnp.stack(rows, axis=1).reshape(B * seq, width, C)
 
 
-def seq_unwindows(y, seq: int):
-    """Inverse row layout: ``(B*seq, loc, C)`` -> ``(B, seq*loc, C)``."""
-    Bs, loc, C = y.shape
-    return y.reshape(Bs // seq, seq * loc, C)
+def seq_unwindows(y, seq: int, shared: int = 0):
+    """Inverse row layout: ``(B*seq, loc+shared, C)`` ->
+    ``(B, seq*loc + shared, C)`` (duplicated boundary frames dropped)."""
+    Bs, w, C = y.shape
+    if shared == 0:
+        return y.reshape(Bs // seq, seq * w, C)
+    y = y.reshape(Bs // seq, seq, w, C)
+    parts = [y[:, 0]] + [y[:, i, shared:] for i in range(1, seq)]
+    return jnp.concatenate(parts, axis=1)
 
 
 def make_pipelined_stack(
@@ -549,10 +560,12 @@ class STCNPipelineAdapter:
             out = causal.apply({"params": params["causal"]}, x, pad_causal=False)
             h = in_conv.apply({"params": params["res_stack"]["Conv1d_0"]}, out)
             if seq > 1:
-                h = seq_windows(h, seq, overlap)  # pp x sp: time shards as rows
+                # pp x sp: time shards as rows; STCN skips carry T+1 frames
+                # (one-frame prior/posterior shift) — shards share 1 frame
+                h = seq_windows(h, seq, overlap, shared=1)
             collected = pipelined(params["res_stack"]["stages"], h)  # ascending global order
             if seq > 1:
-                collected = [seq_unwindows(c, seq) for c in collected]
+                collected = [seq_unwindows(c, seq, shared=1) for c in collected]
             skips = [None] * n_blocks
             for g, s_ in zip([g for g in range(n_blocks) if (g % n) == n - 1], collected):
                 if g in used_globals:

@@ -43,7 +43,7 @@ from blvm_tpu.utils.argparsers import build_parser
 from blvm_tpu.utils.argparsing import str2bool
 from blvm_tpu.utils.rand import set_seed
 
-from common import DeferredMetrics, default_run_dir
+from common import DeferredMetrics, PrefetchedDeviceBatches, default_run_dir
 
 
 class TransposeTD(Transform):
@@ -194,7 +194,6 @@ def main():
     from common import build_tx_and_lr, step_epoch_lr
 
     tx, lr, epoch_lr = build_tx_and_lr(args)
-    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
 
     def loss_fn(params, rng, batch, scalars):
         loss, mets, outputs = model.apply(
@@ -214,18 +213,59 @@ def main():
         )
         return loss, (mets, outputs)
 
-    train_step = make_train_step(loss_fn, mesh=mesh)
-    eval_step = make_eval_step(eval_loss_fn, mesh=mesh)
+    # --num_seeds K: K probe replicas in one program (the phoneme grid is 28
+    # small repeated runs — multi-seed's best case, experiments/phoneme.txt);
+    # --accum_steps: exact label-weighted gradient accumulation (the CTC loss
+    # is total_nats / total_labels, so microbatches merge by y_sl sum)
+    num_seeds = int(getattr(args, "num_seeds", 1) or 1)
+    accum = int(getattr(args, "accum_steps", 1) or 1)
+    if num_seeds > 1 and accum > 1:
+        raise ValueError("--num_seeds does not compose with --accum_steps")
+    if num_seeds > 1:
+        from blvm_tpu.parallel import (
+            make_multiseed_eval_step,
+            make_multiseed_train_step,
+            multiseed_train_state,
+            slice_seed,
+        )
+
+        def _make_state(k):
+            kp, kr = jax.random.split(k)
+            v = model.init({"params": kp, "dropout": jax.random.PRNGKey(0)}, x0_j, x0_sl_j, y0_j, y0_sl_j)
+            return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
+
+        state = multiseed_train_state(_make_state, jax.random.split(params_key, num_seeds), mesh)
+        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        eval_step = make_multiseed_eval_step(eval_loss_fn, num_seeds, mesh=mesh, return_outputs=False)
+    else:
+        state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+        train_step = make_train_step(
+            loss_fn,
+            mesh=mesh,
+            accum=accum,
+            loss_weight=(lambda mb, mets: mb["y_sl"].sum()) if accum > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
+        eval_step = make_eval_step(eval_loss_fn, mesh=mesh)
 
     tracker = Tracker(
         jsonl_path=str(run_dir / "metrics.jsonl"),
         debug_epoch_break_steps=args.debug_epoch_break_steps or float("inf"),
     )
 
-    def make_batch(x, x_sl, y, y_sl):
-        x, x_sl = pad_batch_to_devices(np.asarray(x, np.float32), np.asarray(x_sl), n_devices)
-        y, y_sl = pad_batch_to_devices(np.asarray(y), np.asarray(y_sl), n_devices)
-        return shard_batch({"x": x, "x_sl": x_sl, "y": y, "y_sl": y_sl}, mesh)
+    batch_multiple = n_devices * accum
+
+    def make_batch(first, second):
+        # the two-modality loader yields ((x, x_sl), (y, y_sl))
+        (x, x_sl), (y, y_sl) = first, second
+        x, x_sl = pad_batch_to_devices(np.asarray(x, np.float32), np.asarray(x_sl), batch_multiple)
+        y, y_sl = pad_batch_to_devices(np.asarray(y), np.asarray(y_sl), batch_multiple)
+        b = {"x": x, "x_sl": x_sl, "y": y, "y_sl": y_sl}
+        if num_seeds > 1:
+            from blvm_tpu.parallel import replicated_sharding
+
+            return jax.device_put({k: jnp.asarray(v) for k, v in b.items()}, replicated_sharding(mesh))
+        return shard_batch(b, mesh)
 
     eval_key = jax.random.PRNGKey(args.seed + 1)
     hyps, refs = [], []
@@ -234,42 +274,82 @@ def main():
     # most by a synchronous per-step device round-trip)
     metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
 
-    def consume_eval_mets(mets_host):
-        nonlocal hyps, refs
-        metrics, hyps, refs = model.build_metrics(mets_host)
-        tracker.update(metrics)
+    def consume_train_mets(mets_host):
+        if num_seeds > 1:
+            for i in range(num_seeds):
+                tracker.update(model.build_metrics(slice_seed(mets_host, i))[0], source=f"{train_source}[s{i}]")
+            return
+        tracker.update(model.build_metrics(mets_host)[0])
 
+    def make_consume_eval(source_name):
+        def consume(mets_host):
+            nonlocal hyps, refs
+            if num_seeds > 1:
+                for i in range(num_seeds):
+                    metrics, hyps, refs = model.build_metrics(slice_seed(mets_host, i))
+                    tracker.update(metrics, source=f"{source_name}[s{i}]")
+                return
+            metrics, hyps, refs = model.build_metrics(mets_host)
+            tracker.update(metrics)
+
+        return consume
+
+    best_multiseed_wer = None
     current_lr = float(epoch_lr.init_value) if epoch_lr is not None else None
     for epoch in tracker.epochs(args.epochs):
         if epoch_lr is not None:
             state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
-        deferred = DeferredMetrics(
-            jax.device_get, lambda m: tracker.update(model.build_metrics(m)[0]), metric_fetch_lag
+        deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
+        # device-place batches ahead so host→device transfer overlaps compute
+        train_batches = PrefetchedDeviceBatches(
+            train_loader, make_batch, depth=max(1, getattr(args, "device_prefetch_depth", 2))
         )
-        for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
-            train_loader, source=str(train_source), before_unset=deferred.flush
+        for batch, metadata in tracker.steps(
+            train_batches, source=str(train_source), before_unset=deferred.flush
         ):
-            batch = make_batch(x, x_sl, y, y_sl)
             state, mets = train_step(state, batch, {})
             deferred.push(mets)
 
         for source_name, loader in valid_test_loaders.items():
-            eval_deferred = DeferredMetrics(jax.device_get, consume_eval_mets, metric_fetch_lag)
+            eval_deferred = DeferredMetrics(jax.device_get, make_consume_eval(source_name), metric_fetch_lag)
             for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
                 loader, source=source_name, before_unset=eval_deferred.flush
             ):
-                batch = make_batch(x, x_sl, y, y_sl)
+                batch = make_batch((x, x_sl), (y, y_sl))
                 eval_key, sub = jax.random.split(eval_key)
-                mets, outputs = eval_step(state.params, sub, batch, {})
+                if num_seeds > 1:
+                    mets = eval_step(state.params, sub, batch, {})
+                else:
+                    mets, outputs = eval_step(state.params, sub, batch, {})
                 eval_deferred.push(mets)
 
-        log_lr = current_lr if epoch_lr is not None else (lr(int(state.step)) if callable(lr) else lr)
+        step_now = int(np.asarray(jax.device_get(state.step)).reshape(-1)[0])
+        log_lr = current_lr if epoch_lr is not None else (lr(step_now) if callable(lr) else lr)
         tracker.log(learning_rate=float(log_lr))
 
         for r, h in zip(refs[:5], hyps[:5]):
             print(f"Ref: {r}\nHyp: {h}")
 
-        if (
+        if args.save_checkpoints and num_seeds > 1:
+            # best seed's canonical single-seed checkpoint (common.py pattern)
+            latest = []
+            for i in range(num_seeds):
+                vals = tracker.accumulated_values.get(f"{dataset.test}[s{i}]", {}).get("wer", [])
+                if vals:
+                    latest.append((vals[-1], i))
+            if latest:
+                best_now, best_i = min(latest)
+                if best_multiseed_wer is None or best_now < best_multiseed_wer:
+                    best_multiseed_wer = best_now
+                    save_run(
+                        str(run_dir),
+                        model=model,
+                        params=slice_seed(state.params, best_i),
+                        opt_state=slice_seed(state.opt_state, best_i),
+                        tracker=tracker,
+                        step=int(jax.device_get(state.step)[best_i]),
+                    )
+        elif (
             args.save_checkpoints
             and dataset.test in tracker.accumulated_values
             and tracker.accumulated_values[dataset.test]["wer"][-1]

@@ -164,27 +164,75 @@ def main():
 
     from common import build_tx_and_lr, step_epoch_lr
 
+    from blvm_tpu.parallel import make_eval_step, make_mesh, make_train_step, shard_batch
+    from blvm_tpu.parallel.mesh import pad_batch_to_devices
+
     tx, lr, epoch_lr = build_tx_and_lr(args)
-    state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
 
-    @jax.jit
-    def train_step(state, z, z_sl, y, y_sl):
-        rng, step_rng = jax.random.split(state.rng)
+    def loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params}, batch["x"], batch["x_sl"], batch["y"], batch["y_sl"],
+            deterministic=False, rngs={"dropout": rng},
+        )
+        return loss, (mets, outputs)
 
-        def loss_fn(params):
-            loss, mets, _ = model.apply(
-                {"params": params}, z, z_sl, y, y_sl, deterministic=False, rngs={"dropout": step_rng}
-            )
-            return loss, mets
+    def eval_loss_fn(params, rng, batch, scalars):
+        loss, mets, outputs = model.apply(
+            {"params": params}, batch["x"], batch["x_sl"], batch["y"], batch["y_sl"], deterministic=True
+        )
+        return loss, (mets, outputs)
 
-        (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads).replace(rng=rng)
-        return state, mets
+    # same promoted machinery as experiment_asr_ctc.py: data-parallel mesh,
+    # --accum_steps, --num_seeds (the representation batch replicates across
+    # seeds; each probe replica trains on the same resampled z stream)
+    mesh = make_mesh(args.n_devices)
+    n_devices = mesh.devices.size
+    num_seeds = int(getattr(args, "num_seeds", 1) or 1)
+    accum = int(getattr(args, "accum_steps", 1) or 1)
+    if num_seeds > 1 and accum > 1:
+        raise ValueError("--num_seeds does not compose with --accum_steps")
+    batch_multiple = n_devices * accum
 
-    @jax.jit
-    def eval_step(params, z, z_sl, y, y_sl):
-        loss, mets, _ = model.apply({"params": params}, z, z_sl, y, y_sl, deterministic=True)
-        return mets
+    def make_batch(z, z_sl, y, y_sl):
+        z, z_sl = pad_batch_to_devices(np.asarray(z, np.float32), np.asarray(z_sl), batch_multiple)
+        y, y_sl = pad_batch_to_devices(np.asarray(y), np.asarray(y_sl), batch_multiple)
+        b = {"x": z, "x_sl": z_sl, "y": y, "y_sl": y_sl}
+        if num_seeds > 1:
+            from blvm_tpu.parallel import replicated_sharding
+
+            return jax.device_put({k: jnp.asarray(v) for k, v in b.items()}, replicated_sharding(mesh))
+        return shard_batch(b, mesh)
+
+    if num_seeds > 1:
+        from blvm_tpu.parallel import (
+            make_multiseed_eval_step,
+            make_multiseed_train_step,
+            multiseed_train_state,
+            slice_seed,
+        )
+
+        def _make_state(k):
+            kp, kr = jax.random.split(k)
+            v = model.init({"params": kp, "dropout": jax.random.PRNGKey(0)}, z0, z0_sl, y0_j, y0_sl_j)
+            return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
+
+        state = multiseed_train_state(_make_state, jax.random.split(params_key, num_seeds), mesh)
+        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        eval_step = make_multiseed_eval_step(eval_loss_fn, num_seeds, mesh=mesh, return_outputs=False)
+    else:
+        state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)
+        train_step = make_train_step(
+            loss_fn,
+            mesh=mesh,
+            accum=accum,
+            loss_weight=(lambda mb, mets: mb["y_sl"].sum()) if accum > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
+        _eval = make_eval_step(eval_loss_fn, mesh=mesh)
+
+        def eval_step(params, key, batch, scalars):
+            mets, _ = _eval(params, key, batch, scalars)
+            return mets
 
     tracker = Tracker(
         jsonl_path=str(run_dir / "metrics.jsonl"),
@@ -196,33 +244,43 @@ def main():
     # common.run_audio_training)
     metric_fetch_lag = max(0, getattr(args, "metric_fetch_lag", 0))
 
-    def consume_train_mets(mets_host):
-        tracker.update(model.build_metrics(mets_host)[0])
+    def make_consume(source):
+        def consume(mets_host):
+            if num_seeds > 1:
+                for i in range(num_seeds):
+                    tracker.update(model.build_metrics(slice_seed(mets_host, i))[0], source=f"{source}[s{i}]")
+                return
+            tracker.update(model.build_metrics(mets_host)[0], source=source)
 
+        return consume
+
+    eval_key = jax.random.PRNGKey(args.seed + 3)
     current_lr = float(epoch_lr.init_value) if epoch_lr is not None else None
     for epoch in tracker.epochs(args.epochs):
         if epoch_lr is not None:
             state, current_lr = step_epoch_lr(state, epoch_lr, epoch, current_lr)
-        deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
+        deferred = DeferredMetrics(jax.device_get, make_consume(str(train_source)), metric_fetch_lag)
         for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
             train_loader, source=str(train_source), before_unset=deferred.flush
         ):
             rep_key, sub = jax.random.split(rep_key)
             z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
-            state, mets = train_step(state, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
+            state, mets = train_step(state, make_batch(z, z_sl, y, y_sl), {})
             deferred.push(mets)
 
         for source_name, loader in valid_test_loaders.items():
-            eval_deferred = DeferredMetrics(jax.device_get, consume_train_mets, metric_fetch_lag)
+            eval_deferred = DeferredMetrics(jax.device_get, make_consume(source_name), metric_fetch_lag)
             for ((x, x_sl), (y, y_sl)), metadata in tracker.steps(
                 loader, source=source_name, before_unset=eval_deferred.flush
             ):
                 rep_key, sub = jax.random.split(rep_key)
                 z, z_sl = get_representation(jnp.asarray(x), jnp.asarray(x_sl), sub)
-                mets = eval_step(state.params, z, z_sl, jnp.asarray(y), jnp.asarray(y_sl))
+                eval_key, ek = jax.random.split(eval_key)
+                mets = eval_step(state.params, ek, make_batch(z, z_sl, y, y_sl), {})
                 eval_deferred.push(mets)
 
-        log_lr = current_lr if epoch_lr is not None else (lr(int(state.step)) if callable(lr) else lr)
+        step_now = int(np.asarray(jax.device_get(state.step)).reshape(-1)[0])
+        log_lr = current_lr if epoch_lr is not None else (lr(step_now) if callable(lr) else lr)
         tracker.log(learning_rate=float(log_lr))
 
 

@@ -640,6 +640,73 @@ class TestASRCTCDriver:
         assert "wer" in lines[0]["synthetic_test"]
         assert lines[0]["synthetic_test"]["wer"] >= 0.0  # unbounded above (insertions)
 
+    def test_multiseed_probe(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--num_seeds 4 probe replicas in ONE program with per-seed WER
+        sources (round-3 verdict item 5 — the phoneme grid is 28 small
+        repeated runs, multi-seed's best case)."""
+        run_dir = tmp_path / "asr_ms_run"
+        argv = [
+            "experiment_asr_ctc.py",
+            "--dataset", "synthetic",
+            "--data_type", "spectrogram",
+            "--text_type", "phon",
+            "--epochs", "1",
+            "--batch_len", "2",
+            "--num_batches_per_epoch", "2",
+            "--hidden_size", "16",
+            "--n_mels", "20",
+            "--n_fft", "128",
+            "--win_length", "128",
+            "--hop_length", "64",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--n_devices", "4",
+            "--num_seeds", "4",
+            "--run_dir", str(run_dir),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_asr_ctc")
+        driver.main()
+
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        wers = [lines[0][f"synthetic_test[s{i}]"]["wer"] for i in range(4)]
+        assert all(w >= 0.0 for w in wers)
+        # different init seeds: not all four replicas identical (losses differ)
+        losses = [lines[0][f"synthetic_train[s{i}]"]["loss"] for i in range(4)]
+        assert len(set(round(l, 6) for l in losses)) > 1
+
+    def test_accum_probe_matches_monolithic(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--accum_steps 2 on the probe: exact label-weighted microbatch merge
+        — epoch metrics equal the monolithic run's."""
+        results = {}
+        for accum in ("1", "2"):
+            run_dir = tmp_path / f"asr_accum{accum}"
+            argv = [
+                "experiment_asr_ctc.py",
+                "--dataset", "synthetic",
+                "--data_type", "spectrogram",
+                "--text_type", "phon",
+                "--epochs", "1",
+                "--batch_len", "2",
+                "--num_batches_per_epoch", "2",
+                "--hidden_size", "16",
+                "--n_mels", "20",
+                "--n_fft", "128",
+                "--win_length", "128",
+                "--hop_length", "64",
+                "--seed", "0",
+                "--num_workers", "0",
+                "--n_devices", "1",
+                "--accum_steps", accum,
+                "--run_dir", str(run_dir),
+            ]
+            monkeypatch.setattr(sys, "argv", argv)
+            driver = importlib.import_module("experiment_asr_ctc")
+            driver.main()
+            lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+            results[accum] = lines[0]["synthetic_test"]["loss"]
+        np.testing.assert_allclose(results["2"], results["1"], rtol=1e-5)
+
 
 class TestMetricFetchLag:
     def test_deferred_fetch_is_exact(self, synthetic_dataset, tmp_path, monkeypatch):

@@ -301,3 +301,48 @@ class TestGenerate:
                     np.asarray(cols[l][:, 0]), np.asarray(dp[l][:, t]), atol=1e-5,
                     err_msg=f"t={t} level={l}",
                 )
+
+
+class TestFastGenerate:
+    """Circular-buffer fast generation must reproduce the windowed-rescan
+    oracle sample for sample (same keys, same contractions per column) — the
+    WaveNet fast-path discipline applied to both STCN stacks."""
+
+    @pytest.mark.parametrize("bf16", [False, True])
+    def test_fast_matches_windowed(self, bf16):
+        model = make_model(bf16=bf16)
+        T = 48
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, T)), jnp.float32)
+        x_sl = jnp.full((2,), T, jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+        histories = [None, x]
+        for history in histories:
+            outs = {}
+            for fast in (False, True):
+                (out, _), _ = model.apply(
+                    {"params": variables["params"]}, n_samples=2, max_timesteps=25,
+                    x=history, fast=fast,
+                    rngs={"sample": jax.random.PRNGKey(7)}, method=STCN.generate,
+                )
+                outs[fast] = np.asarray(out)
+            tol = 5e-2 if bf16 else 1e-5  # bf16 gate tanh/sigmoid amplifies ulp differences
+            np.testing.assert_allclose(outs[True], outs[False], atol=tol, rtol=0,
+                                       err_msg=f"history={'real' if history is not None else 'zeros'}")
+
+    def test_fast_mode_matches_windowed(self):
+        model = make_model()
+        T = 48
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, T)), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.full((1,), T, jnp.int32)
+        )
+        outs = {}
+        for fast in (False, True):
+            (out, _), _ = model.apply(
+                {"params": variables["params"]}, n_samples=2, max_timesteps=12,
+                use_mode_observations=True, x=x, fast=fast,
+                rngs={"sample": jax.random.PRNGKey(5)}, method=STCN.generate,
+            )
+            outs[fast] = np.asarray(out)
+        np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=0)
