@@ -263,7 +263,13 @@ def scan_chain_times(loss_fn, state, batches, steps_a, steps_b):
     Linearity is judged between the two chain lengths IN scan mode (round-3
     verdict #2: the committed LSTM line carried ``timing_linear: false`` from
     the async mode even though its reported number came from the scan chain).
+    Chains shorter than half the long one pay a visible fixed dispatch cost
+    (~10-20 ms per chain on the relay) that fails the 25% gate for fast steps,
+    so the short chain is at least steps_b/2 and fast steps lengthen both.
     """
+    if steps_b * 0.020 < 2.0:  # fast steps: amortize the per-chain dispatch cost
+        steps_b = max(steps_b, 200)
+    steps_a = max(steps_a, steps_b // 2)
     state, per_a, _, _ = scan_chain_time(loss_fn, state, batches, steps_a)
     state, per_b, lf, ll = scan_chain_time(loss_fn, state, batches, steps_b)
     linear = abs(per_a - per_b) <= 0.25 * max(per_a, per_b)

@@ -84,6 +84,7 @@ def build_audio_pipeline(
     eval_batch: str = "100s",
     eval_shuffle: bool = True,
     eval_split_bs_mult: int = 1,
+    batch_len_is_seconds: bool = True,
 ):
     """Datasets, samplers and loaders for the standard single-modality audio task.
 
@@ -147,7 +148,14 @@ def build_audio_pipeline(
         # SECONDS (x16000); an int (only reachable via set_defaults — argparse
         # parses every numeric CLI value as float) is samples. Log the resolved
         # budget: passing e.g. "128000" means 128000 SECONDS and will OOM.
-        batch_len = 16000 * args.batch_len if isinstance(args.batch_len, float) else args.batch_len
+        # EXCEPTION (batch_len_is_seconds=False): the reference STCN driver
+        # never applies the conversion — its --batch_len is raw samples
+        # (experiment_stcn_audio.py has no 16000* line; all five other drivers
+        # do). Kept bug-for-bug so STCN run specs transfer unchanged.
+        if batch_len_is_seconds:
+            batch_len = 16000 * args.batch_len if isinstance(args.batch_len, float) else args.batch_len
+        else:
+            batch_len = args.batch_len
         resolved_batch_len = batch_len
         LOGGER.info(f"train batch budget: {batch_len:,.0f} timesteps (batch_len={args.batch_len!r})")
         train_sampler = LengthTrainSampler(

@@ -99,6 +99,9 @@ def run(args):
         args, n_devices=args.n_devices or jax.device_count(),
         # reference eval-loader geometry for this family (see build_audio_pipeline)
         eval_batch="2xtrain", eval_shuffle=True, eval_split_bs_mult=1,
+        # the reference STCN driver's --batch_len is RAW SAMPLES (it lacks the
+        # other drivers' seconds conversion) — kept bug-for-bug
+        batch_len_is_seconds=False,
     )
     run_audio_training(
         args, model, pipeline, loss_fn, annealers=annealers, best_metric_name="loss", script_name="stcn_audio",

@@ -104,6 +104,94 @@ def family_config(family: str) -> dict:
             model_kwargs=dict(likelihood="DMoL", input_size=64, hidden_size=64, latent_size=16, num_mix=10, num_bins=2**16),
             metric_keys=("loss", "bpd", "elbo", "rec", "kl", "beta", "free_nats"),
         )
+    if family == "srnn":
+        return dict(
+            driver="experiment_srnn_audio.py",
+            epochs=24,
+            test_every=5,
+            seed=5151,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                "--batch_len", "1.0",
+                "--stack_frames", "64",
+                "--hidden_size", "64",
+                "--latent_size", "16",
+                "--smoothing", "true",
+                "--likelihood", "DMoL",
+                "--num_mix", "10",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                "--beta_anneal_steps", "150",
+                "--beta_start_value", "0",
+                "--free_nats_steps", "100",
+                "--free_nats_start_value", "2.0",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                # the reference SRNN driver's TIGHT default clips — both BIND
+                # (experiment_srnn_audio.py:41-42), exercising the clip chain
+                "--max_grad_norm", "3.0",
+                "--max_grad_value", "1.0",
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.srnn:SRNNAudio",
+            patch_rsample=True,
+            transplant="srnn",
+            model_kwargs=dict(
+                likelihood="DMoL", input_size=64, hidden_size=64, latent_size=16,
+                smoothing=True, num_mix=10, num_bins=2**16,
+            ),
+            metric_keys=("loss", "bpd", "elbo", "rec", "kl", "beta", "free_nats"),
+        )
+    if family == "stcn":
+        return dict(
+            driver="experiment_stcn_audio.py",
+            epochs=22,
+            test_every=5,
+            seed=6161,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                # the reference STCN driver's --batch_len is RAW SAMPLES (it
+                # lacks the other drivers' seconds conversion) — mirrored
+                "--batch_len", "16000",
+                "--hidden_size", "32",
+                "--latent_size", "16", "8",
+                "--num_layers", "3",
+                "--num_stack_frames", "1",
+                "--dense", "true",
+                "--top_down", "true",
+                "--precision_posterior", "true",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                # crop length > every example length: RandomSegment stays LIVE
+                # in both drivers but always selects start 0 (high = max(T -
+                # len, 1) = 1), so batch CONTENT is identical even though the
+                # reference crops with torch RNG and we crop with a hash
+                "--random_segment_size", "8000",
+                "--beta_anneal_steps", "150",
+                "--beta_start_value", "0",
+                "--free_nats_steps", "100",
+                "--free_nats_start_value", "2.0",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                "--max_grad_norm", "3000.0",
+                "--max_grad_value", "1000.0",
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.stcn.stcn:STCN",
+            patch_rsample=True,
+            transplant="stcn",
+            model_kwargs=dict(
+                likelihood="DMoL", n_layers=3, latent_size=(16, 8), res_channels=32,
+                dense=True, top_down=True, precision_posterior=True,
+            ),
+            metric_keys=("loss", "elbo (bpx)", "rec (bpx)", "beta", "free_nats"),
+        )
     raise ValueError(family)
 
 

@@ -47,9 +47,15 @@ def main(family: str, init_dir: str, out_dir: str, epochs_override=None):
 
     # deterministic-mean posterior sampling, matching the torch leg's patch
     if cfg["patch_rsample"]:
-        import blvm_tpu.models.vrnn as my_vrnn
+        import importlib
 
-        my_vrnn.rsample_gaussian = lambda key, mu, sd: mu
+        # same module the per-family parity tests patch (rsample -> mean)
+        mod = importlib.import_module(
+            {"vrnn": "blvm_tpu.models.vrnn", "srnn": "blvm_tpu.models.srnn", "stcn": "blvm_tpu.models.stcn.stcn"}[
+                cfg["transplant"]
+            ]
+        )
+        mod.rsample_gaussian = lambda key, mu, sd: mu
 
     # record the batch-plan signature: every (x, x_sl) batch the loaders yield,
     # in order (the first is the driver's warmup/summary fetch, mirroring the

@@ -161,14 +161,27 @@ def main(family: str, out_dir: str):
 
     # --- transplant initial weights into our layout and save ---------------
     assert captured["init_state"] is not None, "reference driver never ran a forward"
-    if cfg["transplant"] == "lstm":
+    sd = captured["init_state"]
+    kind = cfg["transplant"]
+    if kind == "lstm":
         from tests.parity.test_parity_lstm import transplant
 
-        params = transplant(captured["init_state"], num_layers=cfg["model_kwargs"]["num_layers"])
-    else:
+        params = transplant(sd, num_layers=cfg["model_kwargs"]["num_layers"])
+    elif kind == "vrnn":
         from tests.parity.test_parity_vrnn import transplant
 
-        params = transplant(captured["init_state"])
+        params = transplant(sd)
+    elif kind == "srnn":
+        from tests.parity.test_parity_srnn import transplant
+
+        params = transplant(sd, smoothing=cfg["model_kwargs"]["smoothing"])
+    elif kind == "stcn":
+        from tests.parity.test_parity_stcn import transplant
+
+        mk = cfg["model_kwargs"]
+        params = transplant(sd, n_layers=mk["n_layers"], latents=tuple(mk["latent_size"]))
+    else:
+        raise ValueError(kind)
 
     from flax import serialization
 

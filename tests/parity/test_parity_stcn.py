@@ -33,13 +33,14 @@ def glu_stack_params(sd, prefix, n_blocks):
     return params
 
 
-def transplant(sd):
-    """torch STCN state_dict -> flax params (reused by train-step parity)."""
-    n_latents = len(LATENTS)
+def transplant(sd, n_layers=N_LAYERS, latents=LATENTS, n_stacks=None):
+    """torch STCN state_dict -> flax params (reused by train-step parity and
+    the convergence harness, which passes its own architecture)."""
+    n_latents = len(latents)
     params = {
         "causal": {"Conv1d_0": ref.conv1d_params(sd, "causal.conv")},
-        "res_stack": glu_stack_params(sd, "res_stack", N_LAYERS * n_latents),
-        "out_transform": glu_stack_params(sd, "out_transform", N_LAYERS),
+        "res_stack": glu_stack_params(sd, "res_stack", n_layers * (n_stacks or n_latents)),
+        "out_transform": glu_stack_params(sd, "out_transform", n_layers),
         "out_upsample": {"Dense_0": ref.linear_params(sd, "out_upsample.0")},
         "likelihood_module": {"Dense_0": ref.linear_params(sd, "likelihood_module.params")},
     }
