@@ -186,11 +186,48 @@ def family_config(family: str) -> dict:
             ref_model="blvm.models.stcn.stcn:STCN",
             patch_rsample=True,
             transplant="stcn",
+            lr_log_offset=1,  # STCN logs the post-step (next epoch's) lr
+            # the reference STCN driver smoke-forwards the warmup batch once
+            # before the loop (model(x, x_sl) — experiment_stcn_audio.py:186,
+            # no backward/update): recorded by the torch leg, skipped in the
+            # step-by-step comparison
+            torch_preloop_forwards=1,
             model_kwargs=dict(
                 likelihood="DMoL", n_layers=3, latent_size=(16, 8), res_channels=32,
                 dense=True, top_down=True, precision_posterior=True,
             ),
             metric_keys=("loss", "elbo (bpx)", "rec (bpx)", "beta", "free_nats"),
+        )
+    if family == "wavenet":
+        return dict(
+            driver="experiment_wavenet_audio.py",
+            epochs=22,
+            test_every=5,
+            seed=7272,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                "--batch_len", "1.0",
+                "--n_layers", "4",
+                "--n_stacks", "2",
+                "--res_channels", "16",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                # generation cadence 25 > epochs: the reference's naive AR
+                # generate would take hours on CPU; it never fires here
+                "--generate_every", "25",
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.wavenet.wavenet:WaveNet",
+            patch_rsample=False,
+            transplant="wavenet",
+            jax_extra=["--generate_every", "0"],  # our wavenet driver's flag
+            model_kwargs=dict(n_layers=4, n_stacks=2, res_channels=16, num_mix=10, num_bins=2**16),
+            metric_keys=("loss", "bpd"),
         )
     raise ValueError(family)
 

@@ -102,7 +102,7 @@ def main(family: str, init_dir: str, out_dir: str, epochs_override=None):
         "--sampler_shared_rng", "true",
         "--init_checkpoint", init_dir,
         "--run_dir", run_dir,
-        "--generate_frames", "0",
+        *cfg.get("jax_extra", ["--generate_frames", "0"]),
         "--bucket_multiple", "512",
     ]
     runpy.run_path(driver, run_name="__main__")

@@ -50,8 +50,13 @@ def compare_family(family, torch_trace, jax_trace, prefix=False):
 
     ``prefix=True`` (the torch-free regression test's mode) compares only the
     jax run's length against the golden's prefix."""
+    cfg = cc.family_config(family)
     # our first recorded batch is the driver's warmup fetch (the torch leg
-    # records forwards, and the reference's summary fetch runs no forward)
+    # records forwards, and the reference's summary fetch runs no forward);
+    # some reference drivers smoke-forward the warmup batch before the loop
+    # (no update) — those leading torch records are skipped symmetrically
+    pre = cfg.get("torch_preloop_forwards", 0)
+    torch_trace = dict(torch_trace, steps=torch_trace["steps"][pre:])
     jax_sigs = [[v for v in b if v > 0] for b in jax_trace["batches"][1:]]
     torch_sigs = torch_step_signatures(torch_trace)
     if prefix:
@@ -74,16 +79,30 @@ def compare_family(family, torch_trace, jax_trace, prefix=False):
     step_stats = {
         "n": len(step_rel),
         "max_rel_first50": max(step_rel[:50]) if step_rel else None,
+        "max_rel_first100": max(step_rel[:100]) if step_rel else None,
         "max_rel": max(step_rel) if step_rel else None,
     }
 
     # per-epoch metric comparison at matched epochs; the torch tracker logs a
     # nested {source: {metric: value}} dict per epoch, ours metrics.jsonl rows
-    cfg = cc.family_config(family)
     deltas = {}
     rows = []
     for epoch_idx, (tlog, jlog) in enumerate(zip(torch_trace["logs"], jax_trace["epochs"]), start=1):
         row = {"epoch": epoch_idx}
+        # top-level lr trajectories — the exact schedule-drift detector (an
+        # off-by-one milestone or wrong gamma shows as a step function here).
+        # The reference drivers log it as "learning_rate" (lstm) or "lr"
+        # (the get_learning_rates_dict drivers — utils/optimization.py:17)
+        t_lr = tlog.get("learning_rate", tlog.get("lr"))
+        # the reference STCN driver logs the lr AFTER lr_scheduler.step()
+        # (experiment_stcn_audio.py:298-301) — i.e. the NEXT epoch's lr —
+        # so its series compares against our next row
+        j_lr_log = jax_trace["epochs"][epoch_idx] if cfg.get("lr_log_offset") and epoch_idx < len(jax_trace["epochs"]) else jlog
+        if t_lr is not None and "learning_rate" in j_lr_log:
+            tv, jv = float(t_lr), float(j_lr_log["learning_rate"])
+            rel = abs(jv - tv) / max(abs(tv), 1e-12)
+            row["learning_rate"] = {"torch": tv, "jax": jv, "rel": rel}
+            deltas.setdefault("learning_rate", []).append(rel)
         for t_source, t_metrics in tlog.items():
             if not isinstance(t_metrics, dict):
                 continue
@@ -139,14 +158,18 @@ def main(families):
         for k, v in s.items():
             print(f"    {k:>24}: max {v['max_rel']:.2e}  last {v['last_rel']:.2e}")
 
-    artifact = {"round": 4, "tolerance_note": "see tests/parity/test_convergence.py", "results": {
-        f: {k: v for k, v in r.items() if k != "per_epoch"} for f, r in results.items()
-    }}
-    cc.write_json(os.path.join(cc.REPO, "CONVERGENCE_r04.json"), artifact)
+    # merge into an existing artifact so families can be (re)generated alone
+    art_path = os.path.join(cc.REPO, "CONVERGENCE_r04.json")
+    merged = {}
+    if os.path.exists(art_path):
+        merged = json.load(open(art_path)).get("results", {})
+    merged.update({f: {k: v for k, v in r.items() if k != "per_epoch"} for f, r in results.items()})
+    artifact = {"round": 4, "tolerance_note": "see tests/parity/test_convergence.py", "results": merged}
+    cc.write_json(art_path, artifact)
     with open(os.path.join(OUT_ROOT, "full_comparison.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote CONVERGENCE_r04.json + goldens for {list(results)}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["lstm", "vrnn"])
+    main(sys.argv[1:] or ["lstm", "vrnn", "srnn", "stcn", "wavenet"])

@@ -180,6 +180,11 @@ def main(family: str, out_dir: str):
 
         mk = cfg["model_kwargs"]
         params = transplant(sd, n_layers=mk["n_layers"], latents=tuple(mk["latent_size"]))
+    elif kind == "wavenet":
+        from tests.parity.test_parity_wavenet import transplant
+
+        mk = cfg["model_kwargs"]
+        params = transplant(sd, n_layers=mk["n_layers"], n_stacks=mk["n_stacks"])
     else:
         raise ValueError(kind)
 

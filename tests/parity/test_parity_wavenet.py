@@ -25,9 +25,10 @@ pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout u
 N_LAYERS, N_STACKS, RES, NUM_MIX, NUM_BINS = 3, 2, 8, 3, 256
 
 
-def transplant(sd):
-    """torch WaveNet state_dict -> flax params (reused by train-step parity)."""
-    n_blocks = N_LAYERS * N_STACKS
+def transplant(sd, n_layers=None, n_stacks=None):
+    """torch WaveNet state_dict -> flax params (reused by train-step parity
+    and the convergence harness, which passes its own architecture)."""
+    n_blocks = (n_layers or N_LAYERS) * (n_stacks or N_STACKS)
     res_stack = {"Conv1d_0": ref.conv1d_params(sd, "res_stack.in_transform")}
     for i in range(n_blocks):
         res_stack[f"Conv1dResidualGLU_{i}"] = ref.residual_glu_params(sd, f"res_stack.res_blocks.{i}")
