@@ -28,12 +28,13 @@ peak and was an async-dispatch artifact of the experimental TPU relay):
     step (params chain step-to-step), unlike ``block_until_ready`` which the
     relay can acknowledge early,
   * two step counts are timed and per-step times must agree (linearity); if
-    they disagree (or, for WaveNet, the implied FLOP/s exceeds the chip's bf16
-    peak) the script falls back to per-step-synced timing (a strict lower
-    bound) and reports that instead,
-  * for WaveNet the implied FLOP/s is checked against hardware peak with an
-    analytic *forward-only lower bound* on FLOPs — if even that exceeds peak,
-    the measurement is impossible and the script fails loudly,
+    they disagree (or the implied FLOP/s exceeds the chip's bf16 peak) the
+    script re-measures as a single scan-chain dispatch, then per-step-synced
+    timing (a strict lower bound),
+  * EVERY family's implied FLOP/s is checked against hardware peak using the
+    exact MXU FLOP count traced from the jaxpr (utils/flops.py — scan trip
+    counts multiplied out); if even the final mode exceeds peak, the
+    measurement is impossible and the script fails loudly,
   * first/last timed losses are reported so training progress is visible.
 
 Flagship status (round-4 closure of the round-2 "done" bar): the WaveNet step
