@@ -536,7 +536,7 @@ class TestSTCNDriver:
             "--dataset", "synthetic",
             "--epochs", "1",
             "--test_every", "1",
-            "--batch_len", "1.0",
+            "--batch_len", "16000",  # STCN --batch_len is RAW SAMPLES (reference quirk, kept bug-for-bug)
             "--num_layers", "2",
             "--latent_size", "8", "4",
             "--hidden_size", "16",
@@ -569,7 +569,7 @@ class TestSTCNDriver:
             "--dataset", "synthetic",
             "--epochs", "1",
             "--test_every", "1",
-            "--batch_len", "1.0",
+            "--batch_len", "16000",  # STCN --batch_len is RAW SAMPLES (reference quirk, kept bug-for-bug)
             # 8 blocks, bps=4 at pipe=2, n_latents=2 — bps % n == 0 holds
             "--num_layers", "4",
             "--num_stacks", "2",

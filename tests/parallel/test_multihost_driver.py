@@ -118,7 +118,7 @@ def test_multi_process_driver_matches_single_process(tmp_path, n_procs, num_work
     env_single = dict(env, XLA_FLAGS=f"--xla_force_host_platform_device_count={n_procs}")
     out = subprocess.run(
         driver_argv(run_single, num_workers, extra) + ["--n_devices", str(n_procs)],
-        env=env_single, capture_output=True, text=True, timeout=600,
+        env=env_single, capture_output=True, text=True, timeout=1200,
     )
     assert out.returncode == 0, f"single-process driver failed:\n{out.stdout}\n{out.stderr}"
 
@@ -137,7 +137,9 @@ def test_multi_process_driver_matches_single_process(tmp_path, n_procs, num_work
         )
         for pid in range(n_procs)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # generous timeout: under a full-suite run on a small host, 4 processes
+    # each jit-compiling on CPU can take several minutes to reach the barrier
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"multi-host driver process failed:\n{o}"
 
