@@ -583,18 +583,27 @@ def run_audio_training(
         # reduce-scatters gradients; per-device state memory scales 1/dp.
         from blvm_tpu.parallel import DEFAULT_MIN_LEAF_ELEMS, shard_train_state_fsdp
 
+        base_rules = tp_rules if model_axis_size > 1 else None
         if pp_adapter is not None:
-            raise ValueError("--fsdp does not compose with --pipeline_axis_size (the pipe axis already shards the state)")
+            # pp x fsdp: the stage-stacked block params (and their Adam
+            # moments) keep their leading stage axis on ``pipe`` and
+            # additionally shard a free dim over ``data``; non-stage leaves
+            # (embedding/heads/latent hierarchy) shard over ``data`` alone.
+            # GSPMD all-gathers the data shards at use inside the pipelined
+            # step (tests/parallel/test_fsdp.py::test_wavenet_fsdp_composes_with_pipeline)
+            from blvm_tpu.parallel import PIPELINE_PP_RULES
+
+            base_rules = PIPELINE_PP_RULES
         min_size = getattr(args, "fsdp_min_size", None)
         state = shard_train_state_fsdp(
             state,
             mesh,
-            tp_rules=tp_rules if model_axis_size > 1 else None,
+            tp_rules=base_rules,
             min_leaf_elems=DEFAULT_MIN_LEAF_ELEMS if min_size is None else int(min_size),
         )
     elif model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
-    if pp_adapter is not None:
+    if pp_adapter is not None and not getattr(args, "fsdp", False):
         from blvm_tpu.parallel import PIPELINE_PP_RULES
 
         # stage params + their Adam moments land sharded over the pipe axis

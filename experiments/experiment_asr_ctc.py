@@ -85,6 +85,9 @@ def build_args():
     model_group.add_argument("--sum_directions", default=False, type=str2bool)
     model_group.add_argument("--dropout_prob", default=0.30, type=float)
     model_group.add_argument("--temporal_dropout", default=True, type=str2bool)
+    # 0 disables the fixed-count epoch (plain one-sweep epochs). The
+    # reference cannot disable it from the CLI; its implementation also has
+    # the buffer-overwrite bug documented at samplers/length_samplers.py
     model_group.add_argument("--num_batches_per_epoch", default=1000, type=int)
     return parser.parse_args()
 
@@ -140,6 +143,12 @@ def main():
     alphabet = TIMIT_PHONESET if args.text_type == "phon" else TIMIT_ALPHABET
     token_map = TokenMap(tokens=list(alphabet), add_blank=True)
 
+    # --sampler_shared_rng: one RNG shared by all samplers in construction
+    # order, reproducing the reference's global-`random` stream (common.py)
+    import random as _random
+
+    sampler_seed = _random.Random(args.seed) if getattr(args, "sampler_shared_rng", False) else args.seed
+
     modalities = build_modalities(args, dataset, token_map)
 
     train_dataset = BaseDataset(source=train_source, modalities=modalities)
@@ -149,8 +158,8 @@ def main():
         batch_len=args.sample_rate * args.batch_len,
         max_pool_difference=args.sample_rate * 0.3,
         min_pool_size=512,
-        num_batches=args.num_batches_per_epoch,
-        seed=args.seed,
+        num_batches=args.num_batches_per_epoch or None,
+        seed=sampler_seed,
     )
     train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
 
@@ -162,6 +171,7 @@ def main():
             field=dataset.audio_length,
             shuffle=True,
             batch_len=args.sample_rate * args.batch_len * 3,
+            seed=sampler_seed,
         )
         valid_test_loaders[source_name] = DataLoader(
             valid_dataset, batch_sampler=valid_sampler, num_workers=args.num_workers
@@ -190,6 +200,17 @@ def main():
     variables = jax.jit(
         lambda k: model.init({"params": k, "dropout": jax.random.PRNGKey(0)}, x0_j, x0_sl_j, y0_j, y0_sl_j)
     )(params_key)
+
+    # --init_checkpoint: start from saved parameters (fresh optimizer) — e.g.
+    # weights transplanted from the torch reference by the convergence harness
+    init_ckpt = getattr(args, "init_checkpoint", None)
+    if init_ckpt:
+        from flax import serialization
+
+        path = init_ckpt if init_ckpt.endswith(".msgpack") else os.path.join(init_ckpt, "model_params.msgpack")
+        with open(path, "rb") as f:
+            loaded = serialization.from_bytes(variables["params"], f.read())
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, loaded)}
 
     from common import build_tx_and_lr, step_epoch_lr
 

@@ -198,6 +198,67 @@ def family_config(family: str) -> dict:
             ),
             metric_keys=("loss", "elbo (bpx)", "rec (bpx)", "beta", "free_nats"),
         )
+    if family == "cwvae":
+        return dict(
+            driver="experiment_clockwork_audio.py",
+            epochs=22,
+            test_every=5,
+            seed=8383,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                "--batch_len", "1.0",
+                # per-level sizes spelled out: the reference ctor broadcasts
+                # ints but NOT length-1 lists (clockwork_vae.py:84-88 would
+                # zip-truncate the levels) — nargs="+" makes CLI values lists
+                "--hidden_size", "8", "8",
+                "--latent_size", "4", "4",
+                "--global_size", "0",
+                # strides 16*4: level0 = two stride-4 blocks, level1 = (4,1)
+                # — uniform num_blocks=2 per level (the reference factors each
+                # level's stride into stride_per_layer chunks with stride-1
+                # tail blocks, convolutional_coders.py:180-190). Chosen so the
+                # TOP level keeps >=30 timesteps per clip: channel-wise
+                # GroupNorm over a handful of timesteps is catastrophically
+                # ill-conditioned in f32 (a [64,16] probe measured torch
+                # f32-vs-f64 at 1.3e-3 maxabs in the top block); at [16,4] our
+                # f32 loss agrees with torch f64 to 8e-8
+                "--strides", "16", "4",
+                "--num_level_layers", "2",
+                "--stride_per_layer", "4",
+                "--likelihood", "DMoL",
+                "--num_mix", "2",
+                "--num_bits", "16",
+                "--input_coding", "mu_law",
+                "--beta_anneal_steps", "150",
+                "--beta_start_value", "0",
+                "--free_nats_steps", "100",
+                "--free_nats_start_value", "2.0",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                "--max_grad_norm", "3000.0",
+                "--max_grad_value", "1000.0",
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.clockwork_vae.clockwork_vae:CWVAEAudio",
+            patch_rsample=True,
+            # the RSSM cell samples via DiagonalGaussianDense.rsample, which
+            # resolves rsample_gaussian in blvm.modules.distributions — not in
+            # the model module like vrnn/srnn/stcn (rssm.py:100,119)
+            torch_rsample_module="blvm.modules.distributions",
+            transplant="cwvae",
+            # generation is not compared (wandb.Audio sanitizes to None); the
+            # torch leg runs the reference's hardcoded 128k-frame generate at
+            # every eval epoch, ours skips it to keep the replay test fast
+            jax_extra=["--generate_every", "0"],
+            # exact-T batches: CWVAE's channel-wise GroupNorm sees padding
+            # (loss shifts ~8e-5 at bucket_multiple=512) — see jax_leg.py
+            bucket_multiple=1,
+            model_kwargs=dict(num_levels=2, num_blocks=2),
+            metric_keys=("loss", "elbo (bpt)", "rec (bpt)", "kl (bpt)", "beta", "free_nats"),
+        )
     if family == "wavenet":
         return dict(
             driver="experiment_wavenet_audio.py",

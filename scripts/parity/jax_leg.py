@@ -51,9 +51,13 @@ def main(family: str, init_dir: str, out_dir: str, epochs_override=None):
 
         # same module the per-family parity tests patch (rsample -> mean)
         mod = importlib.import_module(
-            {"vrnn": "blvm_tpu.models.vrnn", "srnn": "blvm_tpu.models.srnn", "stcn": "blvm_tpu.models.stcn.stcn"}[
-                cfg["transplant"]
-            ]
+            {
+                "vrnn": "blvm_tpu.models.vrnn",
+                "srnn": "blvm_tpu.models.srnn",
+                "stcn": "blvm_tpu.models.stcn.stcn",
+                # the RSSM cell is the sampling site for CWVAE (rssm.py)
+                "cwvae": "blvm_tpu.modules.rssm",
+            }[cfg["transplant"]]
         )
         mod.rsample_gaussian = lambda key, mu, sd: mu
 
@@ -103,7 +107,11 @@ def main(family: str, init_dir: str, out_dir: str, epochs_override=None):
         "--init_checkpoint", init_dir,
         "--run_dir", run_dir,
         *cfg.get("jax_extra", ["--generate_frames", "0"]),
-        "--bucket_multiple", "512",
+        # cwvae needs exact-T batches (bucket_multiple=1): its channel-wise
+        # GroupNorm normalizes over the full padded time axis, so any padding
+        # beyond the reference's pad-to-batch-max shifts the loss (~8e-5
+        # measured at 512). The other families' losses are bucket-invariant.
+        "--bucket_multiple", str(cfg.get("bucket_multiple", 512)),
     ]
     runpy.run_path(driver, run_name="__main__")
 

@@ -14,7 +14,7 @@ Run in a fresh process with env: ``PYTORCH_JIT=0`` (so runtime rsample patches
 reach the VRNN cell), ``JAX_PLATFORMS=cpu`` (flax serialization of the
 transplant).
 
-Usage: python torch_leg.py <family> <out_dir>
+Usage: python torch_leg.py <family> <out_dir> [epochs_override]
 """
 
 import copy
@@ -62,8 +62,10 @@ def wav_stub_fns():
     return load, info
 
 
-def main(family: str, out_dir: str):
+def main(family: str, out_dir: str, epochs_override=None):
     cfg = cc.family_config(family)
+    if epochs_override:  # short smoke runs while developing a family config
+        cfg = dict(cfg, epochs=int(epochs_override))
     paths = cc.make_dataset()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -131,7 +133,7 @@ def main(family: str, out_dir: str):
 
     # --- deterministic-mean posterior sampling (both legs patch the same) --
     if cfg["patch_rsample"]:
-        mod_name = cfg["ref_model"].split(":")[0]
+        mod_name = cfg.get("torch_rsample_module") or cfg["ref_model"].split(":")[0]
         ref_mod = importlib.import_module(mod_name)
         ref_mod.rsample_gaussian = lambda mu, sd: mu
 
@@ -185,6 +187,11 @@ def main(family: str, out_dir: str):
 
         mk = cfg["model_kwargs"]
         params = transplant(sd, n_layers=mk["n_layers"], n_stacks=mk["n_stacks"])
+    elif kind == "cwvae":
+        from tests.parity.test_parity_cwvae import transplant
+
+        mk = cfg["model_kwargs"]
+        params = transplant(sd, num_levels=mk["num_levels"], num_blocks=mk["num_blocks"])
     else:
         raise ValueError(kind)
 
@@ -200,4 +207,4 @@ def main(family: str, out_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], *(sys.argv[3:4] or []))

@@ -369,6 +369,43 @@ class TestWaveNetDriver:
         model_r, params_r, _, _ = load_run(str(run_dir), model_class=WaveNet, raise_errors=True)
         assert params_r is not None
 
+    def test_pipeline_parallel_with_fsdp(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--pipeline_axis_size 2 --fsdp: the stage-stacked block params (and
+        Adam moments) shard over 'pipe' AND a free dim over 'data'; the run
+        trains, evals, and checkpoints a canonical-layout file."""
+        run_dir = tmp_path / "run_wavenet_pp_fsdp"
+        argv = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "2",
+            "--n_stacks", "2",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--pipeline_axis_size", "2",
+            "--pipeline_microbatches", "2",
+            "--fsdp", "true",
+            "--fsdp_min_size", "0",
+            "--run_dir", str(run_dir),
+            "--save_checkpoints", "true",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[-1]["synthetic_train"]["loss"])
+        from blvm_tpu.models import WaveNet
+
+        _, params = WaveNet.load(str(run_dir))
+        assert "Conv1dResidualGLU_0" in params["res_stack"]  # canonical layout
+
     def test_pipeline_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
         """--pipeline_axis_size 2 trains over a (data=2, pipe=2) mesh (GPipe
         microbatch pipelining of the residual stack), saves a CANONICAL-layout

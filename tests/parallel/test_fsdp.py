@@ -183,3 +183,52 @@ class TestFsdpTrainEquivalence:
 
         np.testing.assert_allclose(losses1, losses8, rtol=1e-5)
         params_close(final1.params, final8.params)
+
+    def test_wavenet_fsdp_composes_with_pipeline(self):
+        """pp x fsdp: stage-stacked block params shard their leading stage
+        axis over ``pipe`` AND a free dim over ``data`` (Adam moments too);
+        GSPMD all-gathers the data shards at use inside the step and the
+        3-step trajectory still equals single-device."""
+        from blvm_tpu.parallel import PIPELINE_PP_RULES, WaveNetPipelineAdapter
+
+        model = WaveNet(n_layers=3, n_stacks=2, res_channels=16, num_mix=3)
+        B, T = 8, 64
+        batches = self._batches(B, T)
+        loss_fn = make_loss_fn(model)
+
+        mesh1 = make_mesh(1)
+        state1 = make_state(model, batches[0]["x"], batches[0]["x_sl"])
+        step1 = make_train_step(loss_fn, mesh=mesh1, donate=False)
+        final1, losses1 = run_steps(step1, state1, batches)
+
+        mesh = make_mesh(8, pipe_axis_size=2)  # dp=4 x pipe=2
+        adapter = WaveNetPipelineAdapter(model, n_stages=2, n_micro=2)
+        # like the driver: convert to the pipeline layout BEFORE TrainState.create
+        # so the Adam moments mirror the stage-stacked shapes
+        state0 = make_state(model, batches[0]["x"], batches[0]["x_sl"])
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=adapter.to_pipeline(state0.params),
+            tx=get_optimizer("Adam", 1e-3),
+            rng=state0.rng,
+        )
+        state = shard_train_state_fsdp(state, mesh, tp_rules=PIPELINE_PP_RULES, min_leaf_elems=0)
+
+        gk = state.params["res_stack"]["stages"]["block_0"]["gate_kernel_t"]
+        assert gk.sharding.spec[0] == "pipe" and "data" in gk.sharding.spec
+        shard = gk.addressable_shards[0].data
+        assert shard.size == gk.size // 8  # 1/(pipe*data) of the bytes
+        mu_gk = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+            if "mu" in _path_names(path) and _path_names(path)[-1] == "gate_kernel_t"
+        ]
+        assert mu_gk and all(m.sharding.spec == gk.sharding.spec for m in mu_gk)
+
+        step = make_train_step(adapter.make_loss_fn(mesh), mesh=mesh, donate=False)
+        final8, losses8 = run_steps(step, state, batches, mesh)
+
+        np.testing.assert_allclose(losses1, losses8, rtol=1e-5)
+        from blvm_tpu.parallel import from_pipeline_params
+
+        params_close(final1.params, jax.jit(lambda p: from_pipeline_params(p, 2))(final8.params))

@@ -8,13 +8,17 @@ sampler, epoch-stepped MultiStepLR (milestone at epoch 12), and — for VRNN —
 live beta/free-nats cosine annealers, recording every forward's batch plan and
 loss plus every epoch's aggregated tracker metrics.
 
-Round-4 coverage: FIVE families — LSTM, WaveNet, VRNN, SRNN (tight binding clips:
-max_grad_norm 3.0 / max_grad_value 1.0, the reference SRNN driver defaults),
-and STCN (conv hierarchy; live RandomSegment on both sides; the reference
-driver's raw-samples --batch_len quirk and its pre-loop smoke forward both
-mirrored). Full-horizon measurements (CONVERGENCE_r04.json): first-50-step
-losses agree to 4.9e-7 / 8.4e-5 / 9.5e-7 / 1.7e-6, per-epoch aggregates
-within 0.27% / 0.013% / 0.018% / 0.03%.
+Round-4 coverage: ALL SIX families — LSTM, WaveNet, VRNN, SRNN (tight binding
+clips: max_grad_norm 3.0 / max_grad_value 1.0, the reference SRNN driver
+defaults), STCN (conv hierarchy; live RandomSegment on both sides; the
+reference driver's raw-samples --batch_len quirk and its pre-loop smoke
+forward both mirrored), and CWVAE (multi-level strided coders + RSSM scans,
+cosine beta/free-nats annealers; exact-T batches via --bucket_multiple 1 —
+its channel-wise GroupNorm normalizes over the padded time axis, so
+bucket-padded batches shift the loss ~8e-5; step-0 loss then agrees to
+7.9e-8). Full-horizon measurements (CONVERGENCE_r04.json): first-50-step
+losses agree to 4.9e-7 / 8.4e-5 / 9.5e-7 / 1.7e-6 / 1.1e-4 (cwvae), per-epoch
+aggregates within 0.27% / 0.013% / 0.018% / 0.03% / 0.15% (cwvae).
 
 This test replays OUR driver (as a subprocess, the real CLI) from the
 transplanted initial weights over the first 14 epochs (~190 steps — past the
@@ -59,7 +63,9 @@ GOLDEN_DIR = Path(__file__).with_name("goldens")
 SCRIPTS = Path(__file__).resolve().parents[2] / "scripts" / "parity"
 REPLAY_EPOCHS = 14
 
-FAMILIES = [f for f in ("lstm", "vrnn", "srnn", "stcn", "wavenet") if (GOLDEN_DIR / f"convergence_{f}.json").exists()]
+FAMILIES = [
+    f for f in ("lstm", "vrnn", "srnn", "stcn", "wavenet", "cwvae") if (GOLDEN_DIR / f"convergence_{f}.json").exists()
+]
 
 pytestmark = pytest.mark.skipif(not FAMILIES, reason="no convergence goldens generated")
 
@@ -77,7 +83,10 @@ def test_convergence_vs_reference_driver(family, tmp_path):
         check=True,
         env=env,
         cwd=str(SCRIPTS.parents[1]),
-        timeout=1500,
+        # cwvae replays with --bucket_multiple 1 (exact-T batches — see module
+        # docstring), so every distinct batch shape compiles: ~17 min alone on
+        # the 1-CPU host, longer under full-suite load
+        timeout=2700 if family == "cwvae" else 1500,
     )
     jax_trace = json.loads((out / "jax_trace.json").read_text())
 
@@ -93,7 +102,9 @@ def test_convergence_vs_reference_driver(family, tmp_path):
     steps = result["step_losses"]
     assert steps["n"] >= 150, f"replay too short: {steps['n']} steps"
     worst = steps["max_rel_first100"]  # aligned by compare_family (pre-loop forwards skipped)
-    step_tol = {"lstm": 1e-5, "vrnn": 1e-3, "srnn": 1e-3, "stcn": 1e-3, "wavenet": 1e-4}[family]  # see module docstring
+    # see module docstring; cwvae measured 2.1e-4 over the first 100 (step 0
+    # at 7.9e-8 — exact-T batches; smooth f32 Adam/GroupNorm accumulation)
+    step_tol = {"lstm": 1e-5, "vrnn": 1e-3, "srnn": 1e-3, "stcn": 1e-3, "wavenet": 1e-4, "cwvae": 1e-3}[family]
     assert worst <= step_tol, f"{family}: per-step loss drift {worst:.2e} in the first 100 steps"
 
     # lr trajectories must match exactly (epoch-stepped MultiStepLR with the
@@ -118,7 +129,7 @@ def test_convergence_vs_reference_driver(family, tmp_path):
         for key, cell in row.items():
             if key == "epoch" or not isinstance(cell, dict):
                 continue
-            if key.endswith("/kl") or key == "learning_rate":
-                continue  # near-zero KL: relative error meaningless; lr gated above
+            if "/kl" in key or key == "learning_rate":
+                continue  # near-zero KL (incl. cwvae "kl (bpt)"): relative error meaningless; lr gated above
             tol = 1e-6 if key.endswith(("/beta", "/free_nats")) else (late_tol if late else 5e-3)
             assert cell["rel"] <= tol, f"{family}: epoch {row['epoch']} {key} rel {cell['rel']:.2e}"
