@@ -89,6 +89,10 @@ def build_args():
     # reference cannot disable it from the CLI; its implementation also has
     # the buffer-overwrite bug documented at samplers/length_samplers.py
     model_group.add_argument("--num_batches_per_epoch", default=1000, type=int)
+    # additional eval source CSVs after [valid_sets, test_sets] — the
+    # reference HARDCODES its two extra TIMIT test splits (male/female,
+    # experiment_asr_ctc.py:120-123); this is the configurable equivalent
+    model_group.add_argument("--extra_test_sources", default=[], type=str, nargs="*")
     return parser.parse_args()
 
 
@@ -164,7 +168,7 @@ def main():
     train_loader = DataLoader(train_dataset, batch_sampler=train_sampler, num_workers=args.num_workers)
 
     valid_test_loaders = {}
-    for source_name in [*dataset.valid_sets, *dataset.test_sets]:
+    for source_name in [*dataset.valid_sets, *dataset.test_sets, *args.extra_test_sources]:
         valid_dataset = BaseDataset(source=source_name, modalities=modalities)
         valid_sampler = LengthEvalSampler(
             source=source_name,

@@ -259,6 +259,61 @@ def family_config(family: str) -> dict:
             model_kwargs=dict(num_levels=2, num_blocks=2),
             metric_keys=("loss", "elbo (bpt)", "rec (bpt)", "kl (bpt)", "beta", "free_nats"),
         )
+    if family == "asr":
+        return dict(
+            driver="experiment_asr_ctc.py",
+            epochs=25,
+            test_every=5,  # parsed but unused: the ASR driver evals every epoch
+            seed=9494,
+            cli=[
+                "--dataset", "synth",
+                "--device", "cpu",
+                "--num_workers", "0",
+                # this driver's --batch_len is SECONDS (sampler gets
+                # sample_rate * batch_len; reference experiment_asr_ctc.py:173)
+                "--batch_len", "1.0",
+                # waveform input: StackTensor(hop) frames — pure torch on the
+                # reference side (its LogMelSpectrogram needs torchaudio,
+                # which is absent/stubbed in this environment)
+                "--data_type", "waveform",
+                "--hop_length", "64",
+                "--text_type", "phon",
+                "--hidden_size", "32",
+                "--num_layers", "2",
+                "--bidirectional", "true",
+                "--sum_directions", "false",
+                # dropout OFF: torch and jax PRNGs cannot produce identical
+                # masks — the trajectory comparison needs a deterministic step
+                "--dropout_prob", "0.0",
+                # fixed-count epochs disabled on both sides: the reference's
+                # num_batches buffer handling has an overwrite bug (its
+                # sample_batches recursion result is clobbered), so its
+                # semantics are not reproducible by a correct implementation;
+                # the torch leg force-patches num_batches=None (CLI 0 would
+                # yield empty epochs there)
+                "--num_batches_per_epoch", "0",
+                "--lr", "3e-4",
+                "--lr_scheduler", "MultiStepLR",
+                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                "--save_checkpoints", "false",
+            ],
+            ref_model="blvm.models.lstm_asr:SimpleLSTMASR",
+            patch_rsample=False,
+            transplant="asr",
+            # mirror the reference's hardcoded extra test sources (the torch
+            # leg redirects /data/research/... to these same files)
+            jax_extra=[
+                "--extra_test_sources",
+                os.path.join(DATA_DIR, "male.txt"),
+                os.path.join(DATA_DIR, "female.txt"),
+            ],
+            # reference-only flags (our CLI has no AMP flag; GradScaler must
+            # be disabled on CPU)
+            torch_extra=["--use_amp", "false"],
+            asr=True,  # torch leg installs the sampler + extra-source patches
+            model_kwargs=dict(num_layers=2, bidirectional=True),
+            metric_keys=("loss", "wer", "cer"),
+        )
     if family == "wavenet":
         return dict(
             driver="experiment_wavenet_audio.py",
@@ -299,9 +354,18 @@ def make_dataset(root: str = DATA_DIR) -> dict:
     Waveforms carry learnable structure (per-file random sinusoid mixtures +
     small noise) so the loss visibly decreases over the run. Deterministic
     (seeded numpy), all lengths distinct.
+
+    Also writes per-clip TIMIT-format ``.PHN`` transcripts (for the ASR/CTC
+    probe family) from a SEPARATE rng stream — the wav/length stream is
+    untouched, so the audio families' frozen goldens stay valid — plus an
+    ``empty.txt`` header-only CSV (the torch leg redirects the reference ASR
+    driver's hardcoded ``/data/research/...`` extra test sources to it).
     """
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(2024)
+    phn_rng = np.random.default_rng(2025)
+    # a learnable phone inventory subset (real TIMIT phoneset entries)
+    phones = ["aa", "ae", "ax", "b", "d", "eh", "ih", "iy", "k", "m", "n", "s", "t", "uw"]
     paths = {}
     offsets = {"train": 0, "valid": 1000, "test": 2000}
     counts = {"train": N_TRAIN, "valid": N_VALID, "test": N_TEST}
@@ -323,11 +387,48 @@ def make_dataset(root: str = DATA_DIR) -> dict:
                 w.setsampwidth(2)
                 w.setframerate(16000)
                 w.writeframes(pcm.tobytes())
+            # TIMIT PHN format: "start end phone" per line (clean_timit strips
+            # the alignment columns); 4-9 phones per clip, deterministic
+            k = int(phn_rng.integers(4, 10))
+            bounds = np.linspace(0, n, k + 1).astype(int)
+            with open(stem + ".PHN", "w") as f:
+                for j in range(k):
+                    f.write(f"{bounds[j]} {bounds[j + 1]} {phones[int(phn_rng.integers(len(phones)))]}\n")
             rows.append(f"{stem},{n}")
         csv_path = os.path.join(root, f"{split}.txt")
         with open(csv_path, "w") as f:
             f.write("\n".join(rows) + "\n")
         paths[split] = csv_path
+    # two tiny extra eval splits mirroring the reference ASR driver's
+    # hardcoded male/female TIMIT test sources (its experiment_asr_ctc.py
+    # hardcodes /data/research paths; the torch leg redirects them here and
+    # our driver takes them via --extra_test_sources). All writes use the
+    # SEPARATE phn_rng stream so the audio goldens stay valid.
+    for extra in ("male", "female"):
+        rows = ["filename,length.wav.samples"]
+        for i in range(2):
+            n = int(phn_rng.integers(2000, 4000))
+            freqs = phn_rng.uniform(80, 2000, size=3)
+            amps = phn_rng.uniform(0.05, 0.25, size=3)
+            t = np.arange(n) / 16000.0
+            x = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+            x = x + 0.02 * phn_rng.standard_normal(n)
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+            stem = os.path.join(root, f"{extra}_{i:03d}")
+            with wave.open(stem + ".wav", "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            k = int(phn_rng.integers(4, 10))
+            bounds = np.linspace(0, n, k + 1).astype(int)
+            with open(stem + ".PHN", "w") as f:
+                for j in range(k):
+                    f.write(f"{bounds[j]} {bounds[j + 1]} {phones[int(phn_rng.integers(len(phones)))]}\n")
+            rows.append(f"{stem},{n}")
+        with open(os.path.join(root, f"{extra}.txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+        paths[extra] = os.path.join(root, f"{extra}.txt")
     return paths
 
 

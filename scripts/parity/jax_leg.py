@@ -71,7 +71,10 @@ def main(family: str, init_dir: str, out_dir: str, epochs_override=None):
 
     def recording_iter(self):
         for batch in orig_iter(self):
-            (x, x_sl), meta = batch
+            payload, meta = batch
+            # audio: ((x, x_sl), meta); asr two-modality: (((x, x_sl), (y, y_sl)), meta)
+            first = payload[0] if isinstance(payload[0], (tuple, list)) else payload
+            x, x_sl = first
             batches.append([int(v) for v in x_sl])
             yield batch
 

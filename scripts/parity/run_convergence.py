@@ -172,4 +172,4 @@ def main(families):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["lstm", "vrnn", "srnn", "stcn", "wavenet", "cwvae"])
+    main(sys.argv[1:] or ["lstm", "vrnn", "srnn", "stcn", "wavenet", "cwvae", "asr"])

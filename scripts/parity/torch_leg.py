@@ -137,6 +137,67 @@ def main(family: str, out_dir: str, epochs_override=None):
         ref_mod = importlib.import_module(mod_name)
         ref_mod.rsample_gaussian = lambda mu, sd: mu
 
+    if cfg.get("asr"):
+        # (0) reference_loader stubs editdistance.eval to 0 (it is absent in
+        # the image) — WER/CER would read 0.0; install a real Levenshtein
+        def _levenshtein(a, b):
+            a, b = list(a), list(b)
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        sys.modules["editdistance"].eval = _levenshtein
+
+        # (a) force num_batches=None on the train sampler: the CLI cannot
+        # disable fixed-count epochs (0 yields empty epochs) and the
+        # reference's num_batches buffer handling has a result-clobbering bug
+        # (sample_batches() recursion return overwritten at length_samplers.py
+        # tail), so its semantics are not reproducible by a correct
+        # implementation — both legs run plain one-sweep epochs instead.
+        import blvm.data.samplers.length_samplers as ref_ls
+
+        orig_ts_init = ref_ls.LengthTrainSampler.__init__
+
+        def ts_init(self, *a, **k):
+            k["num_batches"] = None
+            orig_ts_init(self, *a, **k)
+
+        ref_ls.LengthTrainSampler.__init__ = ts_init
+
+        # (b) the reference ASR driver hardcodes two extra TIMIT test sources
+        # under /data/research (experiment_asr_ctc.py:120-123); redirect them
+        # to the synthetic male/female splits. Our driver evals the same files
+        # via --extra_test_sources (the tracker keys sections by the dataset's
+        # resolved source path, so the section names match exactly).
+        redirects = {
+            "test_male.txt": os.path.join(cc.DATA_DIR, "male.txt"),
+            "test_female.txt": os.path.join(cc.DATA_DIR, "female.txt"),
+        }
+
+        def redirect(src):
+            if isinstance(src, str) and src.startswith("/data/research"):
+                return redirects[os.path.basename(src)]
+            return src
+
+        import blvm.data.base_dataset as ref_ds
+
+        orig_bd_init = ref_ds.BaseDataset.__init__
+
+        def bd_init(self, source, *a, **k):
+            orig_bd_init(self, redirect(source), *a, **k)
+
+        ref_ds.BaseDataset.__init__ = bd_init
+        orig_es_init = ref_ls.LengthEvalSampler.__init__
+
+        def es_init(self, source, *a, **k):
+            orig_es_init(self, redirect(source), *a, **k)
+
+        ref_ls.LengthEvalSampler.__init__ = es_init
+
     # --- record every forward (class-level wrap; instance made by driver) --
     mod_name, cls_name = cfg["ref_model"].split(":")
     ref_cls = getattr(importlib.import_module(mod_name), cls_name)
@@ -157,7 +218,7 @@ def main(family: str, out_dir: str, epochs_override=None):
 
     # --- run the reference driver script, verbatim -------------------------
     driver = os.path.join(REFERENCE_DRIVERS, cfg["driver"])
-    sys.argv = [driver, *cfg["cli"], "--epochs", str(cfg["epochs"]),
+    sys.argv = [driver, *cfg["cli"], *cfg.get("torch_extra", []), "--epochs", str(cfg["epochs"]),
                 "--test_every", str(cfg["test_every"]), "--seed", str(cfg["seed"])]
     runpy.run_path(driver, run_name="__main__")
 
@@ -192,6 +253,11 @@ def main(family: str, out_dir: str, epochs_override=None):
 
         mk = cfg["model_kwargs"]
         params = transplant(sd, num_levels=mk["num_levels"], num_blocks=mk["num_blocks"])
+    elif kind == "asr":
+        from tests.parity.test_parity_lstm_asr import transplant
+
+        mk = cfg["model_kwargs"]
+        params = transplant(sd, num_layers=mk["num_layers"], bidirectional=mk["bidirectional"])
     else:
         raise ValueError(kind)
 
