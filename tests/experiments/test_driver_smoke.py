@@ -377,7 +377,8 @@ class TestWaveNetDriver:
         argv = [
             "experiment_wavenet_audio.py",
             "--dataset", "synthetic",
-            "--epochs", "1",
+            # best-checkpoint gating saves only when epoch > test_every
+            "--epochs", "2",
             "--test_every", "1",
             "--batch_len", "1.0",
             "--n_layers", "2",
