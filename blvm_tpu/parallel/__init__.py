@@ -35,9 +35,11 @@ from blvm_tpu.parallel.pipeline_parallel import (
     to_pipeline_params,
 )
 from blvm_tpu.parallel.multiseed import (
+    load_multiseed_sweep,
     make_multiseed_eval_step,
     make_multiseed_train_step,
     multiseed_train_state,
+    save_multiseed_sweep,
     slice_seed,
 )
 from blvm_tpu.parallel.train_step import make_eval_step, make_train_step

@@ -414,10 +414,6 @@ def run_audio_training(
             "--seq_axis_size": seq_axis_size > 1,
             "--pipeline_axis_size": pipe_axis_size > 1,
             "--fsdp": bool(getattr(args, "fsdp", False)),
-            "--accum_steps": int(getattr(args, "accum_steps", 1) or 1) > 1,
-            "--eval_iw_samples": int(getattr(args, "eval_iw_samples", 0) or 0) > 0,
-            "--resume": bool(getattr(args, "resume", None)),
-            "--log_norms": bool(getattr(args, "log_norms", False)),
             "multi-host": process_count > 1,
         }
         bad = [k for k, v in incompatible.items() if v]
@@ -549,7 +545,21 @@ def run_audio_training(
     # utils/wandb.py:59-124; here the run dir is the system of record)
     resume_dir = getattr(args, "resume", None)
     start_epoch = 0
-    if resume_dir:
+    resume_best_multiseed = None
+    if resume_dir and num_seeds > 1:
+        # multi-seed resume: restore the FULL K-seed sweep state (every seed's
+        # params/moments/rng/step) saved by save_multiseed_sweep — the analogue
+        # of resuming all K reference processes of a schedule_experiments sweep
+        from blvm_tpu.parallel import load_multiseed_sweep
+
+        state, ms_meta = load_multiseed_sweep(resume_dir, state, num_seeds, annealers=annealers, mesh=mesh)
+        start_epoch = int(ms_meta.get("epoch") or 0)
+        resume_best_multiseed = ms_meta.get("best_value")
+        LOGGER.info(
+            f"Resumed {num_seeds}-seed sweep from {resume_dir}: epoch {start_epoch}, "
+            f"step {int(jax.device_get(state.step)[0])}"
+        )
+    elif resume_dir:
         from blvm_tpu.training import load_run
 
         _, params_r, opt_state_r, meta = load_run(
@@ -617,7 +627,15 @@ def run_audio_training(
     if num_seeds > 1:
         from blvm_tpu.parallel import make_multiseed_eval_step, make_multiseed_train_step
 
-        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        train_step = make_multiseed_train_step(
+            loss_fn,
+            num_seeds,
+            mesh=mesh,
+            log_norms=log_norms,
+            accum=accum_steps,
+            loss_weight=(lambda mb, mets: mb["x_sl"].sum()) if accum_steps > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
         eval_step = make_multiseed_eval_step(loss_fn, num_seeds, mesh=mesh)
     else:
         train_step = make_train_step(
@@ -642,9 +660,19 @@ def run_audio_training(
         from blvm_tpu.evaluation.bounds import model_iw_bound
         from blvm_tpu.evaluation.metrics import BitsPerDimMetric
 
-        @partial(jax.jit, static_argnames=("num_samples",))
-        def iw_step(params, key, x, x_sl, num_samples):
-            return model_iw_bound(model, params, x, x_sl, key, num_samples, **(iw_kwargs or {}))
+        if num_seeds > 1:
+            # per-seed bounds: vmap over the stacked params with per-seed keys
+            # -> (K, B); consumed per seed source below
+            @partial(jax.jit, static_argnames=("num_samples",))
+            def iw_step(params, key, x, x_sl, num_samples):
+                keys = jax.random.split(key, num_seeds)
+                return jax.vmap(
+                    lambda p, k: model_iw_bound(model, p, x, x_sl, k, num_samples, **(iw_kwargs or {}))
+                )(params, keys)
+        else:
+            @partial(jax.jit, static_argnames=("num_samples",))
+            def iw_step(params, key, x, x_sl, num_samples):
+                return model_iw_bound(model, params, x, x_sl, key, num_samples, **(iw_kwargs or {}))
 
     if process_count > 1:
         LOGGER.info(
@@ -663,7 +691,8 @@ def run_audio_training(
     dataset = pipeline.dataset
     eval_key = jax.random.PRNGKey(args.seed + 1)
     build_metrics = model.build_metrics
-    best_multiseed_value = None  # best-seed eval metric seen so far (num_seeds > 1)
+    # best-seed eval metric seen so far (num_seeds > 1); carried across --resume
+    best_multiseed_value = resume_best_multiseed
 
     # optional device profiling of the first training epoch (SURVEY §5.1:
     # tracker step telemetry + jax.profiler trace hooks)
@@ -687,6 +716,15 @@ def run_audio_training(
         def consume_train_mets(mets_host):
             nonlocal last_norms
             if num_seeds > 1:
+                if log_norms:
+                    # seed-stacked (K,) norm vectors: one scalar per seed
+                    # source, exactly what K reference processes would log
+                    mets_host = dict(mets_host)
+                    gn, pn = mets_host.pop("grad_norm"), mets_host.pop("param_norm")
+                    last_norms = {}
+                    for i in range(num_seeds):
+                        last_norms[f"grad_norm[s{i}]"] = float(gn[i])
+                        last_norms[f"param_norm[s{i}]"] = float(pn[i])
                 # every metric leaf carries a leading seed axis; one tracker
                 # source per seed (exactly what N reference processes log)
                 for i in range(num_seeds):
@@ -771,10 +809,17 @@ def run_audio_training(
                         x_sl_h = np.asarray(x_sl)
                         x_sl_h = np.concatenate([x_sl_h, np.zeros((-len(x_sl_h)) % batch_multiple, x_sl_h.dtype)])
                         bound = np.where(x_sl_h > 0, np.asarray(bound), 0.0)  # mask padded zero-length rows
-                        tracker.update(
-                            [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)],
-                            source=source_name,
-                        )
+                        if num_seeds > 1:
+                            for i in range(num_seeds):
+                                tracker.update(
+                                    [BitsPerDimMetric(bound[i], name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)],
+                                    source=f"{source_name}[s{i}]",
+                                )
+                        else:
+                            tracker.update(
+                                [BitsPerDimMetric(bound, name=f"iw_{eval_iw_samples} (bpf)", reduce_by=x_sl_h)],
+                                source=source_name,
+                            )
 
             # log audio reconstructions from the final eval batch. Multi-host:
             # the outputs are batch-sharded global arrays — all hosts gather
@@ -832,6 +877,18 @@ def run_audio_training(
                             annealers=annealers,
                             tracker=tracker,
                             step=int(jax.device_get(state.step)[best_i]),
+                        )
+                        # full sweep state alongside the canonical best-seed
+                        # checkpoint, so --resume continues ALL K seeds
+                        from blvm_tpu.parallel import save_multiseed_sweep
+
+                        save_multiseed_sweep(
+                            str(run_dir),
+                            state,
+                            num_seeds,
+                            annealers=annealers,
+                            epoch=epoch,
+                            best_value=best_multiseed_value,
                         )
 
             # conditional best-checkpoint save (reference gating semantics)

@@ -81,6 +81,54 @@ class TestEquivalence:
             ):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
 
+    def test_accum_matches_independent_accum_runs(self, setup):
+        """num_seeds x accum_steps: the vmapped accumulated step must equal K
+        independent single-seed accumulated runs (same microbatch split, same
+        fold_in rng indices, same frames-weighted gradient merge)."""
+        model, make_state, loss_fn, batches, keys = setup
+        weight = lambda mb, mets: mb["x_sl"].sum()
+
+        mesh = make_mesh(8)
+        stacked = multiseed_train_state(make_state, keys, mesh)
+        ms_step = make_multiseed_train_step(
+            loss_fn, K, mesh=mesh, donate=False, accum=2, loss_weight=weight
+        )
+        ms_losses = []
+        for b in batches:
+            stacked, mets = ms_step(stacked, b, {})
+            ms_losses.append(np.asarray(mets["loss"]))
+        assert np.asarray(mets["log_prob"]).shape == (K, B)  # re-concatenated per-example leaves
+
+        mesh1 = make_mesh(1)
+        single_step = make_train_step(loss_fn, mesh=mesh1, donate=False, accum=2, loss_weight=weight)
+        for i in range(K):
+            state_i = jax.jit(make_state)(keys[i])
+            for t, b in enumerate(batches):
+                state_i, mets_i = single_step(state_i, b, {})
+                np.testing.assert_allclose(float(mets_i["loss"]), ms_losses[t][i], rtol=1e-5, atol=1e-6)
+            for a, c in zip(
+                jax.tree_util.tree_leaves(state_i.params),
+                jax.tree_util.tree_leaves(slice_seed(jax.device_get(stacked.params), i)),
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
+
+    def test_log_norms_per_seed(self, setup):
+        """num_seeds x log_norms: (K,) norm vectors matching independent runs."""
+        model, make_state, loss_fn, batches, keys = setup
+        mesh = make_mesh(8)
+        stacked = multiseed_train_state(make_state, keys, mesh)
+        ms_step = make_multiseed_train_step(loss_fn, K, mesh=mesh, donate=False, log_norms=True)
+        _, mets = ms_step(stacked, batches[0], {})
+        gn = np.asarray(mets["grad_norm"])
+        assert gn.shape == (K,)
+
+        mesh1 = make_mesh(1)
+        single_step = make_train_step(loss_fn, mesh=mesh1, donate=False, log_norms=True)
+        for i in (0, K - 1):
+            state_i = jax.jit(make_state)(keys[i])
+            _, mets_i = single_step(state_i, batches[0], {})
+            np.testing.assert_allclose(float(mets_i["grad_norm"]), gn[i], rtol=1e-5, atol=1e-6)
+
     def test_seeds_differ(self, setup):
         """Different seed keys must produce different params and losses."""
         model, make_state, loss_fn, batches, keys = setup
@@ -118,6 +166,49 @@ class TestSharding:
         mesh = make_mesh(8)
         with pytest.raises(ValueError, match="multiple of the data axis"):
             make_multiseed_train_step(loss_fn, 3, mesh=mesh)
+
+
+class TestSweepCheckpoint:
+    def test_round_trip_continues_exactly(self, setup, tmp_path):
+        """save_multiseed_sweep -> load_multiseed_sweep restores every seed's
+        params/moments/rng/step bitwise; the next step equals the
+        uninterrupted run's."""
+        from blvm_tpu.parallel import load_multiseed_sweep, save_multiseed_sweep
+
+        model, make_state, loss_fn, batches, keys = setup
+        mesh = make_mesh(8)
+        stacked = multiseed_train_state(make_state, keys, mesh)
+        ms_step = make_multiseed_train_step(loss_fn, K, mesh=mesh, donate=False)
+        for b in batches[:2]:
+            stacked, _ = ms_step(stacked, b, {})
+        save_multiseed_sweep(str(tmp_path), stacked, K, epoch=2, best_value=1.25)
+
+        fresh = multiseed_train_state(make_state, keys, mesh)
+        restored, meta = load_multiseed_sweep(str(tmp_path), fresh, K, mesh=mesh)
+        assert meta["epoch"] == 2 and meta["best_value"] == 1.25
+        for a, c in zip(
+            jax.tree_util.tree_leaves(jax.device_get(stacked.params)),
+            jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        # leading seed axis stays sharded over data
+        leaf = jax.tree_util.tree_leaves(restored.params)[0]
+        assert leaf.sharding.spec[0] == "data"
+
+        s1, m1 = ms_step(stacked, batches[2], {})
+        s2, m2 = ms_step(restored, batches[2], {})
+        np.testing.assert_array_equal(np.asarray(m1["loss"]), np.asarray(m2["loss"]))
+        np.testing.assert_array_equal(np.asarray(s1.step), np.asarray(s2.step))
+
+    def test_num_seeds_mismatch_rejected(self, setup, tmp_path):
+        from blvm_tpu.parallel import load_multiseed_sweep, save_multiseed_sweep
+
+        model, make_state, loss_fn, batches, keys = setup
+        mesh = make_mesh(8)
+        stacked = multiseed_train_state(make_state, keys, mesh)
+        save_multiseed_sweep(str(tmp_path), stacked, K, epoch=1)
+        with pytest.raises(ValueError, match="--num_seeds"):
+            load_multiseed_sweep(str(tmp_path), stacked, K // 2, mesh=mesh)
 
 
 class TestEval:
