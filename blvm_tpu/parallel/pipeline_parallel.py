@@ -58,13 +58,28 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from blvm_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS, SEQ_AXIS
+from blvm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS, SEQ_AXIS
 
 # TrainState sharding rules for the pipeline parameter layout: every stacked
 # stage leaf (params AND the Adam moments mirroring them) shards its leading
 # stage axis over ``pipe`` — per-stage optimizer memory, ZeRO-style for free
 # (same mechanism as tensor_parallel.shard_train_state).
 PIPELINE_PP_RULES = [(r"stages/block_\d+/", P(PIPE_AXIS))]
+
+# pp x tp: the stage-stacked block leaves keep ``pipe`` on the leading stage
+# axis and ADDITIONALLY shard their channel dims over ``model`` — the same
+# column-parallel gates / row-parallel projection as the non-pipelined
+# RESIDUAL_GLU_TP_RULES (tensor_parallel.py), shifted one dim right by the
+# stage axis. The GPipe shard_map runs manual over (data, seq, pipe) and
+# leaves ``model`` automatic, so GSPMD partitions the per-stage block math
+# over the model axis exactly like the non-pipelined TP path (one psum per
+# block for the row-parallel contraction).
+PIPELINE_PP_TP_RULES = [
+    (r"stages/block_\d+/.*gate_kernel_[ts]$", P(PIPE_AXIS, None, None, MODEL_AXIS)),
+    (r"stages/block_\d+/.*gate_bias_[ts]$", P(PIPE_AXIS, MODEL_AXIS)),
+    (r"stages/block_\d+/.*rs_kernel$", P(PIPE_AXIS, None, MODEL_AXIS, None)),
+    (r"stages/block_\d+/", P(PIPE_AXIS)),
+]
 
 
 def _block_names(res_stack_params):
@@ -207,8 +222,11 @@ def make_pipelined_stack(
         raise ValueError(f"mesh has no '{PIPE_AXIS}' axis: {mesh.axis_names}")
     if mesh.shape[PIPE_AXIS] != n_stages:
         raise ValueError(f"mesh pipe axis ({mesh.shape[PIPE_AXIS]}) != n_stages ({n_stages})")
-    if "model" in mesh.axis_names:
-        raise ValueError("pipeline parallelism does not compose with the 'model' axis yet")
+    # pp x tp: the shard_map below is manual over (data, seq, pipe) only; the
+    # 'model' axis stays AUTOMATIC, so GSPMD partitions the per-stage block
+    # math over it from the PIPELINE_PP_TP_RULES parameter shardings — the
+    # same compiler-driven TP as the non-pipelined path, inside the engine
+    manual_axes = frozenset(a for a in mesh.axis_names if a != MODEL_AXIS)
     # pp x sp composes through overlap-window sequence sharding (the adapters
     # turn time shards into extra batch ROWS carrying their own receptive-field
     # history — see ``seq_windows``): the engine just shards rows over BOTH the
@@ -345,6 +363,7 @@ def make_pipelined_stack(
             mesh=mesh,
             in_specs=(specs, P(row_axes, None, None)),
             out_specs=out_specs,
+            axis_names=manual_axes,
             check_vma=False,
         )(stage_params, h)
 

@@ -392,8 +392,9 @@ def run_audio_training(
             raise ValueError(
                 "--pipeline_axis_size > 1 is only supported by the conv-stack experiments (WaveNet, STCN)"
             )
-        if model_axis_size > 1:
-            raise ValueError("--pipeline_axis_size does not compose with --model_axis_size yet")
+        # pp x tp composes: the GPipe shard_map is manual over (data, seq,
+        # pipe) and leaves 'model' automatic, so GSPMD tensor-parallelizes
+        # each stage's block math from the PIPELINE_PP_TP_RULES shardings
         # pp x sp composes: the adapters turn time shards into overlap-window
         # batch rows (parallel/pipeline_parallel.py:seq_windows) sharded over
         # the (data, seq) mesh axes — depth AND time sharded together, the
@@ -602,8 +603,9 @@ def run_audio_training(
             # GSPMD all-gathers the data shards at use inside the pipelined
             # step (tests/parallel/test_fsdp.py::test_wavenet_fsdp_composes_with_pipeline)
             from blvm_tpu.parallel import PIPELINE_PP_RULES
+            from blvm_tpu.parallel.pipeline_parallel import PIPELINE_PP_TP_RULES
 
-            base_rules = PIPELINE_PP_RULES
+            base_rules = PIPELINE_PP_TP_RULES if model_axis_size > 1 else PIPELINE_PP_RULES
         min_size = getattr(args, "fsdp_min_size", None)
         state = shard_train_state_fsdp(
             state,
@@ -611,13 +613,17 @@ def run_audio_training(
             tp_rules=base_rules,
             min_leaf_elems=DEFAULT_MIN_LEAF_ELEMS if min_size is None else int(min_size),
         )
+    elif pp_adapter is not None:
+        from blvm_tpu.parallel import PIPELINE_PP_RULES
+        from blvm_tpu.parallel.pipeline_parallel import PIPELINE_PP_TP_RULES
+
+        # stage params + their Adam moments land sharded over the pipe axis;
+        # with tp also active the channel dims additionally shard over 'model'
+        state = shard_train_state(
+            state, mesh, PIPELINE_PP_TP_RULES if model_axis_size > 1 else PIPELINE_PP_RULES
+        )
     elif model_axis_size > 1:
         state = shard_train_state(state, mesh, tp_rules)
-    if pp_adapter is not None and not getattr(args, "fsdp", False):
-        from blvm_tpu.parallel import PIPELINE_PP_RULES
-
-        # stage params + their Adam moments land sharded over the pipe axis
-        state = shard_train_state(state, mesh, PIPELINE_PP_RULES)
 
     log_norms = bool(getattr(args, "log_norms", False))
     train_loss_fn = pp_adapter.make_loss_fn(mesh) if pp_adapter is not None else loss_fn

@@ -485,6 +485,39 @@ class TestWaveNetDriver:
         assert lines_b[-1]["epoch"] == 3  # epoch numbering continued
         assert np.isfinite(lines_b[-1]["synthetic_train"]["loss"])
 
+    def test_pipeline_parallel_with_tensor_parallel(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--pipeline_axis_size x --model_axis_size: GPipe stages whose block
+        math is tensor-parallelized by GSPMD over an automatic 'model' axis
+        inside the engine's shard_map (dp=1 x pp=2 x tp=2)."""
+        run_dir = tmp_path / "run_wavenet_pp_tp"
+        argv = [
+            "experiment_wavenet_audio.py",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--test_every", "1",
+            "--batch_len", "1.0",
+            "--n_layers", "2",
+            "--n_stacks", "2",
+            "--res_channels", "16",
+            "--num_mix", "2",
+            "--seed", "0",
+            "--num_workers", "0",
+            "--bucket_multiple", "512",
+            "--n_devices", "4",
+            "--pipeline_axis_size", "2",
+            "--pipeline_microbatches", "2",
+            "--model_axis_size", "2",
+            "--run_dir", str(run_dir),
+            "--save_checkpoints", "false",
+            "--generate_every", "0",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        driver = importlib.import_module("experiment_wavenet_audio")
+        driver.main()
+        lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert np.isfinite(lines[-1]["synthetic_train"]["loss"])
+        assert np.isfinite(lines[-1]["synthetic_test"]["bpd"])
+
     def test_sequence_parallel_rejected_for_recurrent(self, synthetic_dataset, tmp_path, monkeypatch):
         """Recurrent families reject --seq_axis_size with a clear error."""
         argv = [

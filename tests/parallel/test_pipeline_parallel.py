@@ -211,15 +211,116 @@ class TestPipelinedForwardEquivalence:
         mesh = make_mesh(4, pipe_axis_size=4)
         with pytest.raises(ValueError):
             WaveNetPipelineAdapter(model, n_stages=4, n_micro=2).make_loss_fn(mesh)
-        # no composition with the model axis yet (pp x sp composes — see
-        # TestPipelineSeqComposition)
-        mesh_mp = make_mesh(8, pipe_axis_size=2, model_axis_size=2)
-        with pytest.raises(ValueError):
-            WaveNetPipelineAdapter(model, n_stages=2, n_micro=2).make_loss_fn(mesh_mp)
         # embedding-input configs unsupported
         emb = WaveNet(n_layers=3, n_stacks=2, res_channels=16, embedding_dim=4, likelihood="categorical")
         with pytest.raises(ValueError):
             WaveNetPipelineAdapter(emb, n_stages=2, n_micro=2)
+
+
+class TestPipelineTensorComposition:
+    """pp x tp: the GPipe shard_map is manual over (data, pipe) with the
+    'model' axis left AUTOMATIC, so GSPMD tensor-parallelizes each stage's
+    block math from the PIPELINE_PP_TP_RULES parameter shardings — the loss
+    and gradients must equal the monolithic single-device forward."""
+
+    def _setup(self):
+        model = WaveNet(n_layers=3, n_stacks=2, res_channels=16, num_mix=3)
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T, seed=4)
+        params = init_params(model, x, x_sl)
+        return model, params, x, x_sl
+
+    def test_loss_and_grads_match_standard(self):
+        from blvm_tpu.parallel.pipeline_parallel import PIPELINE_PP_TP_RULES
+        from blvm_tpu.parallel.tensor_parallel import tree_shardings
+
+        model, params, x, x_sl = self._setup()
+        loss_s, g_s = jax.jit(
+            jax.value_and_grad(
+                lambda p: model.apply({"params": p}, x, x_sl, rngs={"sample": jax.random.PRNGKey(0)})[0]
+            )
+        )(params)
+
+        mesh = make_mesh(8, pipe_axis_size=2, model_axis_size=2)
+        adapter = WaveNetPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        pparams = adapter.to_pipeline(params)
+        pparams = jax.device_put(pparams, tree_shardings(pparams, mesh, PIPELINE_PP_TP_RULES))
+        # the TP rules actually took: gate kernels shard (pipe, -, -, model)
+        gk = pparams["res_stack"]["stages"]["block_0"]["gate_kernel_t"]
+        assert gk.sharding.spec == P("pipe", None, None, "model")
+        rs = pparams["res_stack"]["stages"]["block_0"]["rs_kernel"]
+        assert rs.sharding.spec == P("pipe", None, "model", None)
+
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, g_p = jax.jit(
+            jax.value_and_grad(lambda p: loss_fn(p, jax.random.PRNGKey(0), batch, {})[0])
+        )(pparams)
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-6)
+        fp, fs = flat(from_pipeline_params(jax.device_get(g_p), 2)), flat(g_s)
+        assert fp.keys() == fs.keys()
+        for k in fs:
+            np.testing.assert_allclose(
+                np.asarray(fp[k]), np.asarray(fs[k]), rtol=2e-5, atol=1e-7, err_msg=k
+            )
+
+    def test_stcn_loss_and_klds_match_standard(self):
+        """STCN pp x tp: collect-mode skips computed under TP must feed the
+        latent hierarchy the exact monolithic values (loss + per-layer KLs)."""
+        from blvm_tpu.parallel.pipeline_parallel import PIPELINE_PP_TP_RULES
+        from blvm_tpu.parallel.tensor_parallel import tree_shardings
+
+        model = STCN(n_layers=4, latent_size=(8, 4), n_stacks=2, res_channels=16)
+        B, T = 8, 64
+        x, x_sl = make_batch(B, T, seed=5)
+        params = init_params(model, x, x_sl)
+        loss_s, mets_s, _ = jax.jit(
+            lambda p: model.apply(
+                {"params": p}, x, x_sl, beta=0.7, free_nats=0.1, rngs={"sample": jax.random.PRNGKey(0)}
+            )
+        )(params)
+
+        mesh = make_mesh(8, pipe_axis_size=2, model_axis_size=2)
+        adapter = STCNPipelineAdapter(model, n_stages=2, n_micro=2)
+        loss_fn = adapter.make_loss_fn(mesh)
+        pparams = adapter.to_pipeline(params)
+        pparams = jax.device_put(pparams, tree_shardings(pparams, mesh, PIPELINE_PP_TP_RULES))
+        batch = shard_batch({"x": x, "x_sl": x_sl}, mesh)
+        loss_p, (mets_p, _) = jax.jit(loss_fn)(
+            pparams, jax.random.PRNGKey(0), batch, {"beta": 0.7, "free_nats": 0.1}
+        )
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mets_p["kld"]), np.asarray(mets_s["kld"]), rtol=1e-5)
+
+    def test_train_step_matches_single_device(self):
+        """3 pp x tp optimizer steps == 3 monolithic single-device steps."""
+        from blvm_tpu.parallel.pipeline_parallel import PIPELINE_PP_TP_RULES
+
+        model, params, x, x_sl = self._setup()
+        batches = [make_batch(8, 64, seed=10 + t) for t in range(3)]
+
+        mesh1 = make_mesh(1)
+        state_s = make_state(model, params)
+        step_s = make_train_step(std_loss_fn(model), mesh=mesh1, donate=False)
+        losses_s = []
+        for bx, bsl in batches:
+            state_s, mets = step_s(state_s, {"x": bx, "x_sl": bsl}, {})
+            losses_s.append(float(mets["loss"]))
+
+        mesh = make_mesh(8, pipe_axis_size=2, model_axis_size=2)
+        adapter = WaveNetPipelineAdapter(model, n_stages=2, n_micro=2)
+        state_p = make_state(model, adapter.to_pipeline(params))
+        state_p = shard_train_state(state_p, mesh, PIPELINE_PP_TP_RULES)
+        step_p = make_train_step(adapter.make_loss_fn(mesh), mesh=mesh, donate=False)
+        for t, (bx, bsl) in enumerate(batches):
+            batch = shard_batch({"x": bx, "x_sl": bsl}, mesh)
+            state_p, mets = step_p(state_p, batch, {})
+            np.testing.assert_allclose(float(mets["loss"]), losses_s[t], rtol=1e-5)
+
+        fa = flat(jax.device_get(state_s.params))
+        fb = flat(from_pipeline_params(jax.device_get(state_p.params), 2))
+        for k in fa:
+            np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]), rtol=2e-5, atol=1e-6, err_msg=k)
 
 
 class TestSTCNPipeline:
