@@ -30,10 +30,11 @@ from blvm_tpu.ops.conv_arithmetic import compute_conv_attributes_single
 def conv_transpose1d(x, kernel, stride: int, dilation: int = 1, feature_group_count: int = 1):
     """ConvTranspose1d via lhs-dilation: (B, T, Cin) @ (k, Cin/g, Cout).
 
-    The depthwise case (``feature_group_count == C``) routes through the
-    shift-mul form (``modules/convolutions.py:depthwise_conv_transpose1d``):
-    grouped convs never touch the MXU anyway, and jax 0.9.0's SPMD partitioner
-    miscompiles their kernel gradient on multi-axis meshes (pinned repro in
+    The depthwise case (``feature_group_count == C``) routes through
+    ``modules/convolutions.py:depthwise_conv_transpose1d``, whose lowering is
+    mesh-aware: the fast grouped form on single-device/single-axis meshes, the
+    shift-mul form on multi-axis meshes where jax 0.9.0's SPMD partitioner
+    miscompiles grouped-conv kernel gradients (pinned repro in
     ``tests/modules/test_depthwise_spmd.py``)."""
     if feature_group_count > 1 and feature_group_count == x.shape[-1]:
         return depthwise_conv_transpose1d(x, kernel, stride=stride, padding=0, dilation=dilation)
@@ -78,8 +79,7 @@ class _DepthwiseSeparable(nn.Module):
         if self.transposed:
             y = conv_transpose1d(x, kernel, self.stride, self.dilation, feature_group_count=C)
         else:
-            # shift-mul depthwise (VALID) — see conv_transpose1d on why the
-            # grouped-conv form is avoided
+            # mesh-aware depthwise lowering (VALID) — see conv_transpose1d
             y = depthwise_conv1d(x, kernel, stride=self.stride, dilation=self.dilation)
         y = y + bias
         y = nn.relu(y)

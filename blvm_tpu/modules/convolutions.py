@@ -19,27 +19,86 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# How depthwise convs lower (see :func:`depthwise_conv1d`):
+#   * "conv" — XLA grouped conv (``feature_group_count=C``). The fast form on
+#     this backend (CWVAE coders measured 2x faster per train step than the
+#     shift-mul form on the v5e), but jax 0.9.0's SPMD partitioner computes a
+#     WRONG kernel gradient for grouped convs that feed another conv when the
+#     batch is sharded over one axis of a MULTI-axis mesh (f64-verified
+#     miscompile, pinned in ``tests/modules/test_depthwise_spmd.py``).
+#   * "fma" — k shifted elementwise multiply-adds. No grouped conv, partitions
+#     correctly on every mesh; the safe form wherever parameters or the batch
+#     shard over more than one mesh axis (tensor/seq/pipeline parallelism) or
+#     parameters shard at all (fsdp, multiseed — unverified against the
+#     upstream bug, so treated as unsafe).
+#   * "auto" (default) — "conv" when the process-wide mesh
+#     (``parallel/mesh.py:get_mesh``) has at most one non-trivial axis (single
+#     device, or plain data parallelism — the f64 probe and
+#     ``tests/modules/test_depthwise_spmd.py::TestGroupedConvSingleAxisMesh``
+#     verify single-axis meshes are unaffected), else "fma". The fsdp and
+#     multiseed entry points force "fma" (they shard parameters over the data
+#     axis, which the single-axis verification did not cover).
+#     CAVEAT: "auto" trusts ``parallel.mesh`` as the process-wide mesh
+#     authority. Code that device_puts onto a hand-built multi-axis Mesh
+#     without ``make_mesh`` must call ``set_depthwise_impl("fma")`` itself.
+_DEPTHWISE_IMPL = "auto"
 
-def depthwise_conv1d(x, kernel, stride: int = 1, padding: Tuple[int, int] = (0, 0), dilation: int = 1):
-    """Depthwise 1-D conv as ``k`` shifted multiply-adds (channels-last).
 
-    Semantically identical to ``jax.lax.conv_general_dilated(x, kernel,
-    feature_group_count=C)`` (correlation, NWC/WIO), but deliberately avoids
-    ``feature_group_count``:
+def set_depthwise_impl(impl: str) -> str:
+    """Select the depthwise lowering ("conv" | "fma" | "auto"); returns the
+    previous setting. Takes effect at trace time — call before the first step
+    compiles (the drivers, fsdp, and multiseed entry points do)."""
+    global _DEPTHWISE_IMPL
+    if impl not in ("conv", "fma", "auto"):
+        raise ValueError(f"unknown depthwise impl {impl!r} (use 'conv', 'fma' or 'auto')")
+    prev = _DEPTHWISE_IMPL
+    _DEPTHWISE_IMPL = impl
+    return prev
 
-    * TPU-idiomatic: a depthwise conv has no channel contraction, so it never
-      uses the MXU — it IS ``k`` shifted elementwise FMAs on the VPU, and XLA
-      fuses this unrolled form into a single pass over ``x``.
-    * Correctness under SPMD: jax 0.9.0's partitioner computes a WRONG kernel
-      gradient for grouped convs that feed another conv when the batch is
-      sharded over one axis of a multi-axis mesh (replicated over the others)
-      — f64-verified miscompile, see
-      ``tests/modules/test_depthwise_spmd.py`` (the pinned repro). The
-      shift-mul form contains no grouped conv and partitions correctly.
+
+def _resolve_depthwise_impl(impl: Optional[str]) -> str:
+    impl = impl or _DEPTHWISE_IMPL
+    if impl != "auto":
+        return impl
+    from blvm_tpu.parallel import mesh as _mesh_mod
+
+    mesh = _mesh_mod._MESH  # None (no mesh yet) counts as single-device
+    if mesh is None or sum(s > 1 for s in mesh.shape.values()) <= 1:
+        return "conv"
+    return "fma"
+
+
+def depthwise_conv1d(
+    x,
+    kernel,
+    stride: int = 1,
+    padding: Tuple[int, int] = (0, 0),
+    dilation: int = 1,
+    impl: Optional[str] = None,
+):
+    """Depthwise 1-D conv, channels-last (correlation, NWC/WIO semantics —
+    identical to ``jax.lax.conv_general_dilated(..., feature_group_count=C)``).
+
+    ``impl`` picks the lowering (default: the process setting, see
+    :func:`set_depthwise_impl`): "conv" = XLA grouped conv (fastest on this
+    backend), "fma" = ``k`` shifted elementwise FMAs (no ``feature_group_count``
+    — immune to the jax 0.9.0 multi-axis-mesh grouped-conv gradient miscompile
+    pinned in ``tests/modules/test_depthwise_spmd.py``; a depthwise conv never
+    contracts channels, so it never uses the MXU either way).
 
     ``x``: (B, T, C); ``kernel``: (k, 1, C) (the grouped-conv layout, kept for
     checkpoint compatibility); VALID output length after ``padding``.
     """
+    if _resolve_depthwise_impl(impl) == "conv":
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=[tuple(padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=x.shape[-1],
+        )
     k = kernel.shape[0]
     if padding[0] or padding[1]:
         x = jnp.pad(x, ((0, 0), tuple(padding), (0, 0)))
@@ -55,21 +114,37 @@ def depthwise_conv1d(x, kernel, stride: int = 1, padding: Tuple[int, int] = (0, 
     return y
 
 
-def depthwise_conv_transpose1d(x, kernel, stride: int = 1, padding: int = 0, dilation: int = 1):
-    """Depthwise ConvTranspose1d via zero-stuffing + :func:`depthwise_conv1d`.
-
-    Exact torch geometry ``out = (T-1)·s − 2p + d·(k−1) + 1`` (flip kernel,
-    full padding), matching the grouped ``lhs_dilation`` form it replaces —
-    see :func:`depthwise_conv1d` for why grouped convs are avoided.
-    """
+def depthwise_conv_transpose1d(
+    x, kernel, stride: int = 1, padding: int = 0, dilation: int = 1, impl: Optional[str] = None
+):
+    """Depthwise ConvTranspose1d (exact torch geometry
+    ``out = (T-1)·s − 2p + d·(k−1) + 1``). Lowering per ``impl`` /
+    :func:`set_depthwise_impl`: "conv" = grouped ``lhs_dilation`` conv, "fma" =
+    zero-stuffing + :func:`depthwise_conv1d` (flip kernel, full padding)."""
+    full = dilation * (kernel.shape[0] - 1)
+    if _resolve_depthwise_impl(impl) == "conv":
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=[(full - padding, full - padding)],
+            lhs_dilation=(stride,),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=x.shape[-1],
+        )
     B, T, C = x.shape
     if stride > 1:
         # zero-stuff between frames: (B, T, C) -> (B, (T-1)*s + 1, C)
         x = jnp.pad(x[:, :, None, :], ((0, 0), (0, 0), (0, stride - 1), (0, 0)))
         x = x.reshape(B, T * stride, C)[:, : (T - 1) * stride + 1]
-    full = dilation * (kernel.shape[0] - 1)
     return depthwise_conv1d(
-        x, jnp.flip(kernel, axis=0), stride=1, padding=(full - padding, full - padding), dilation=dilation
+        x,
+        jnp.flip(kernel, axis=0),
+        stride=1,
+        padding=(full - padding, full - padding),
+        dilation=dilation,
+        impl="fma",
     )
 
 # torch Conv1d default init: kaiming-uniform(a=sqrt(5)) == uniform with

@@ -106,7 +106,12 @@ def shard_train_state_fsdp(
     the mesh also has a ``model`` axis. The jitted train step inherits the
     placement; XLA emits the param all-gathers and the gradient
     reduce-scatter."""
+    from blvm_tpu.modules.convolutions import set_depthwise_impl
     from blvm_tpu.parallel.mesh import get_mesh
 
+    # fsdp shards PARAMS over the data axis — outside what the single-axis
+    # grouped-conv verification covered, so force the SPMD-safe depthwise
+    # lowering before the steps trace (see modules/convolutions.py).
+    set_depthwise_impl("fma")
     mesh = mesh or get_mesh()
     return jax.device_put(state, fsdp_shardings(state, mesh, tp_rules, min_leaf_elems=min_leaf_elems))

@@ -58,6 +58,12 @@ def multiseed_train_state(make_state: Callable, keys, mesh=None):
     The returned state's every leaf gains a leading ``len(keys)`` axis,
     sharded over the mesh's data axis.
     """
+    from blvm_tpu.modules.convolutions import set_depthwise_impl
+
+    # the seed-stacked params shard over the data axis — outside what the
+    # single-axis grouped-conv verification covered, so force the SPMD-safe
+    # depthwise lowering before the steps trace (see modules/convolutions.py)
+    set_depthwise_impl("fma")
     mesh = mesh or get_mesh()
     _check_divisible(keys.shape[0], mesh)
     return jax.jit(jax.vmap(make_state), out_shardings=seed_sharding(mesh))(keys)
