@@ -47,7 +47,20 @@ _DEPTHWISE_IMPL = "auto"
 def set_depthwise_impl(impl: str) -> str:
     """Select the depthwise lowering ("conv" | "fma" | "auto"); returns the
     previous setting. Takes effect at trace time — call before the first step
-    compiles (the drivers, fsdp, and multiseed entry points do)."""
+    compiles (the drivers, fsdp, and multiseed entry points do).
+
+    Trace-time caveat: a function that was already jit-TRACED keeps the
+    lowering it traced with, even when later executed under different
+    shardings — sharding-driven recompiles re-lower the cached jaxpr without
+    re-running the Python tracer, so neither this call nor a mesh change via
+    ``make_mesh`` (which flips the "auto" answer) affects it. Call this (or
+    build the mesh) before the first depthwise-containing step traces; to
+    re-lower an existing function, build a fresh step (new Python callable).
+
+    The flip is process-wide and sticky: callers that force an impl for a
+    phase (fsdp/multiseed sharding do) should capture the returned previous
+    value and restore it when the phase ends, or later unrelated work silently
+    inherits the forced lowering."""
     global _DEPTHWISE_IMPL
     if impl not in ("conv", "fma", "auto"):
         raise ValueError(f"unknown depthwise impl {impl!r} (use 'conv', 'fma' or 'auto')")
@@ -58,8 +71,12 @@ def set_depthwise_impl(impl: str) -> str:
 
 def _resolve_depthwise_impl(impl: Optional[str]) -> str:
     impl = impl or _DEPTHWISE_IMPL
-    if impl != "auto":
+    if impl in ("conv", "fma"):
         return impl
+    if impl != "auto":
+        # mirror set_depthwise_impl's validation: a typo'd explicit impl must
+        # error, not silently fall through to one of the lowerings
+        raise ValueError(f"unknown depthwise impl {impl!r} (use 'conv', 'fma' or 'auto')")
     from blvm_tpu.parallel import mesh as _mesh_mod
 
     mesh = _mesh_mod._MESH  # None (no mesh yet) counts as single-device

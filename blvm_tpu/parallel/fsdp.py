@@ -105,7 +105,13 @@ def shard_train_state_fsdp(
     (params + optimizer moments), composed with tensor-parallel rules when
     the mesh also has a ``model`` axis. The jitted train step inherits the
     placement; XLA emits the param all-gathers and the gradient
-    reduce-scatter."""
+    reduce-scatter.
+
+    Side effect: flips the process-wide depthwise lowering to the SPMD-safe
+    "fma" form, and the flip is STICKY — later non-fsdp work in the same
+    process (e.g. a post-training eval re-init) keeps the slower lowering
+    unless it restores it via ``set_depthwise_impl``/``reset`` (see
+    ``modules/convolutions.py``)."""
     from blvm_tpu.modules.convolutions import set_depthwise_impl
     from blvm_tpu.parallel.mesh import get_mesh
 

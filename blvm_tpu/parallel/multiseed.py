@@ -57,6 +57,11 @@ def multiseed_train_state(make_state: Callable, keys, mesh=None):
     ``make_state`` must be traceable (model.init + TrainState.create are).
     The returned state's every leaf gains a leading ``len(keys)`` axis,
     sharded over the mesh's data axis.
+
+    Side effect: flips the process-wide depthwise lowering to the SPMD-safe
+    "fma" form, and the flip is STICKY — later non-multiseed work in the same
+    process keeps the slower lowering unless it restores it via
+    ``set_depthwise_impl``/``reset`` (see ``modules/convolutions.py``).
     """
     from blvm_tpu.modules.convolutions import set_depthwise_impl
 

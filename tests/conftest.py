@@ -21,5 +21,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)  # match production f32 semantics
 
 
+import pytest  # noqa: E402
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running tests (multi-process smoke, convergence)")
+
+
+@pytest.fixture(autouse=True)
+def _restore_depthwise_impl():
+    """The fsdp/multiseed entry points flip the process-wide depthwise lowering
+    to "fma" and the flip is sticky by design (trace-time global); without this
+    snapshot/restore, any test that shards params would silently leak "fma"
+    into every later-collected test (advisor round-4 finding)."""
+    from blvm_tpu.modules import convolutions
+
+    prev = convolutions._DEPTHWISE_IMPL
+    yield
+    convolutions._DEPTHWISE_IMPL = prev

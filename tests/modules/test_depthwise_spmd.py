@@ -86,7 +86,9 @@ class TestShiftMulEquivalence:
         x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
         w = jnp.asarray(rng.normal(size=(k, 1, C)), jnp.float32)
         ref = _grouped(x, w, stride, padding, dilation)
-        got = depthwise_conv1d(x, w, stride=stride, padding=padding, dilation=dilation)
+        # impl="fma" explicitly: with the "auto" default and no process mesh
+        # this would resolve to "conv" and compare the grouped conv to itself
+        got = depthwise_conv1d(x, w, stride=stride, padding=padding, dilation=dilation, impl="fma")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
     @pytest.mark.parametrize("stride,dilation,pad", [(1, 1, 0), (2, 1, 0), (2, 2, 1), (4, 1, 2)])
@@ -101,7 +103,7 @@ class TestShiftMulEquivalence:
             lhs_dilation=(stride,), rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
         )
-        got = depthwise_conv_transpose1d(x, w, stride=stride, padding=pad, dilation=dilation)
+        got = depthwise_conv_transpose1d(x, w, stride=stride, padding=pad, dilation=dilation, impl="fma")
         assert got.shape == ref.shape == (B, (T - 1) * stride - 2 * pad + full + 1, C)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
@@ -216,3 +218,14 @@ class TestImplSelection:
         finally:
             mesh_mod._MESH = prev_mesh
             set_depthwise_impl(prev_impl)
+
+    def test_invalid_impl_rejected(self):
+        """Both the setter and an explicitly-passed per-call impl validate."""
+        x = jnp.zeros((1, 8, 2))
+        w = jnp.zeros((3, 1, 2))
+        with pytest.raises(ValueError, match="unknown depthwise impl"):
+            set_depthwise_impl("grouped")
+        with pytest.raises(ValueError, match="unknown depthwise impl"):
+            depthwise_conv1d(x, w, impl="grouped")
+        with pytest.raises(ValueError, match="unknown depthwise impl"):
+            depthwise_conv_transpose1d(x, w, impl="grouped")
