@@ -244,8 +244,6 @@ def main():
     # is total_nats / total_labels, so microbatches merge by y_sl sum)
     num_seeds = int(getattr(args, "num_seeds", 1) or 1)
     accum = int(getattr(args, "accum_steps", 1) or 1)
-    if num_seeds > 1 and accum > 1:
-        raise ValueError("--num_seeds does not compose with --accum_steps")
     if num_seeds > 1:
         from blvm_tpu.parallel import (
             make_multiseed_eval_step,
@@ -260,7 +258,18 @@ def main():
             return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
 
         state = multiseed_train_state(_make_state, jax.random.split(params_key, num_seeds), mesh)
-        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        # --accum_steps composes under the seed vmap (parallel/multiseed.py):
+        # every seed runs the same label-weighted microbatch split, so the
+        # per-seed update equals the single-seed accumulated update — parity
+        # with the audio drivers (experiments/common.py)
+        train_step = make_multiseed_train_step(
+            loss_fn,
+            num_seeds,
+            mesh=mesh,
+            accum=accum,
+            loss_weight=(lambda mb, mets: mb["y_sl"].sum()) if accum > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
         eval_step = make_multiseed_eval_step(eval_loss_fn, num_seeds, mesh=mesh, return_outputs=False)
     else:
         state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)

@@ -189,8 +189,6 @@ def main():
     n_devices = mesh.devices.size
     num_seeds = int(getattr(args, "num_seeds", 1) or 1)
     accum = int(getattr(args, "accum_steps", 1) or 1)
-    if num_seeds > 1 and accum > 1:
-        raise ValueError("--num_seeds does not compose with --accum_steps")
     batch_multiple = n_devices * accum
 
     def make_batch(z, z_sl, y, y_sl):
@@ -217,7 +215,16 @@ def main():
             return TrainState.create(apply_fn=model.apply, params=v["params"], tx=tx, rng=kr)
 
         state = multiseed_train_state(_make_state, jax.random.split(params_key, num_seeds), mesh)
-        train_step = make_multiseed_train_step(loss_fn, num_seeds, mesh=mesh)
+        # --accum_steps composes under the seed vmap, exactly as in the main
+        # ASR probe (experiment_asr_ctc.py) and the audio drivers
+        train_step = make_multiseed_train_step(
+            loss_fn,
+            num_seeds,
+            mesh=mesh,
+            accum=accum,
+            loss_weight=(lambda mb, mets: mb["y_sl"].sum()) if accum > 1 else None,
+            accum_unroll=bool(getattr(args, "accum_unroll", False)),
+        )
         eval_step = make_multiseed_eval_step(eval_loss_fn, num_seeds, mesh=mesh, return_outputs=False)
     else:
         state = TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx, rng=rng_key)

@@ -777,6 +777,43 @@ class TestASRCTCDriver:
         losses = [lines[0][f"synthetic_train[s{i}]"]["loss"] for i in range(4)]
         assert len(set(round(l, 6) for l in losses)) > 1
 
+    def test_multiseed_composes_with_accum(self, synthetic_dataset, tmp_path, monkeypatch):
+        """--num_seeds x --accum_steps on the probe (round-4 verdict item 5 —
+        parity with the audio drivers): each seed's accumulated update is
+        exactly its monolithic update, so the per-seed epoch metrics of a
+        seeds=2 x accum=2 run equal the seeds=2 x accum=1 run's."""
+        results = {}
+        for accum in ("1", "2"):
+            run_dir = tmp_path / f"asr_ms_accum{accum}"
+            argv = [
+                "experiment_asr_ctc.py",
+                "--dataset", "synthetic",
+                "--data_type", "spectrogram",
+                "--text_type", "phon",
+                "--epochs", "1",
+                "--batch_len", "2",
+                "--num_batches_per_epoch", "2",
+                "--hidden_size", "16",
+                "--n_mels", "20",
+                "--n_fft", "128",
+                "--win_length", "128",
+                "--hop_length", "64",
+                "--seed", "0",
+                "--num_workers", "0",
+                "--n_devices", "2",
+                "--num_seeds", "2",
+                "--accum_steps", accum,
+                "--run_dir", str(run_dir),
+            ]
+            monkeypatch.setattr(sys, "argv", argv)
+            driver = importlib.import_module("experiment_asr_ctc")
+            driver.main()
+            lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+            results[accum] = [lines[0][f"synthetic_test[s{i}]"]["loss"] for i in range(2)]
+            # per-seed WER sources exist under the composition
+            assert all(lines[0][f"synthetic_test[s{i}]"]["wer"] >= 0.0 for i in range(2))
+        np.testing.assert_allclose(results["2"], results["1"], rtol=1e-5)
+
     def test_accum_probe_matches_monolithic(self, synthetic_dataset, tmp_path, monkeypatch):
         """--accum_steps 2 on the probe: exact label-weighted microbatch merge
         — epoch metrics equal the monolithic run's."""
