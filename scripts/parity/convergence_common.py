@@ -331,8 +331,18 @@ def family_config(family: str) -> dict:
                 "--num_bits", "16",
                 "--input_coding", "mu_law",
                 "--lr", "3e-4",
-                "--lr_scheduler", "MultiStepLR",
-                "--lr_scheduler_kwargs", '{"milestones": [12], "gamma": 0.5}',
+                # NO --lr_scheduler here, deliberately: the reference WaveNet
+                # driver parses the shared flag but never builds a scheduler
+                # (experiment_wavenet_audio.py:187 — fixed Adam lr; contrast
+                # the lstm/vrnn/stcn drivers, which call get_lr_scheduler).
+                # Passing MultiStepLR therefore ran ASYMMETRIC schedules: our
+                # driver honors the flag (capability over the reference,
+                # MIGRATION.md) and halved the lr at epoch 12 while torch kept
+                # 3e-4 — the round-4 artifact's "mid-horizon excursion"
+                # (train/bpd max_rel 1.46e-2 vs <=4.3e-3 for every other
+                # family). Both legs now run the reference's effective
+                # schedule: constant lr, asserted via the optimizer-state lr
+                # probe (torch_leg.recording_log).
                 # generation cadence 25 > epochs: the reference's naive AR
                 # generate would take hours on CPU; it never fires here
                 "--generate_every", "25",

@@ -159,16 +159,18 @@ def main(families):
             print(f"    {k:>24}: max {v['max_rel']:.2e}  last {v['last_rel']:.2e}")
 
     # merge into an existing artifact so families can be (re)generated alone
-    art_path = os.path.join(cc.REPO, "CONVERGENCE_r04.json")
+    # (round 5 carries the r04 results forward for the untouched families)
+    art_path = os.path.join(cc.REPO, "CONVERGENCE_r05.json")
     merged = {}
-    if os.path.exists(art_path):
-        merged = json.load(open(art_path)).get("results", {})
+    for prior in (os.path.join(cc.REPO, "CONVERGENCE_r04.json"), art_path):
+        if os.path.exists(prior):
+            merged.update(json.load(open(prior)).get("results", {}))
     merged.update({f: {k: v for k, v in r.items() if k != "per_epoch"} for f, r in results.items()})
-    artifact = {"round": 4, "tolerance_note": "see tests/parity/test_convergence.py", "results": merged}
+    artifact = {"round": 5, "tolerance_note": "see tests/parity/test_convergence.py", "results": merged}
     cc.write_json(art_path, artifact)
     with open(os.path.join(OUT_ROOT, "full_comparison.json"), "w") as f:
         json.dump(results, f, indent=1)
-    print(f"wrote CONVERGENCE_r04.json + goldens for {list(results)}")
+    print(f"wrote CONVERGENCE_r05.json + goldens for {list(results)}")
 
 
 if __name__ == "__main__":

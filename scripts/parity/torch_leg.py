@@ -71,6 +71,15 @@ def main(family: str, out_dir: str, epochs_override=None):
 
     import torch
 
+    # --- optional double-precision control (TORCH_LEG_F64=1) ---------------
+    # Re-runs the SAME reference driver with f64 parameters/activations (same
+    # seed, same batch plan). Comparing the f32 and f64 torch trajectories
+    # bounds torch's own precision sensitivity over the horizon — the yardstick
+    # for whether a jax-f32-vs-torch-f32 divergence is update noise or drift.
+    f64 = os.environ.get("TORCH_LEG_F64", "") == "1"
+    if f64:
+        torch.set_default_dtype(torch.float64)
+
     # --- reference package with stubs (reference_loader installs torchinfo/
     # blessed/wandb/torchaudio/... stubs, then imports blvm) ----------------
     from tests.parity import reference_loader as rl
@@ -101,8 +110,34 @@ def main(family: str, out_dir: str, epochs_override=None):
     wandb.wandb_run = types.SimpleNamespace(Run=object)
     wandb.save = lambda *a, **k: None
     wandb.watch = lambda model, *a, **k: captured.__setitem__("model", model)
-    wandb.log = lambda payload, *a, **k: trace["logs"].append(cc.sanitize(payload))
+
+    def recording_log(payload, *a, **k):
+        payload = cc.sanitize(payload)
+        # lr-through-optimizer-state probe: the reference WaveNet driver logs
+        # no lr at all (and builds no scheduler — the shared --lr_scheduler
+        # flag is parsed but dead there, experiment_wavenet_audio.py:187), so
+        # record the optimizer's actual param-group lr whenever the driver's
+        # own payload lacks one. Gives every family an lr series to compare.
+        if (
+            captured.get("optimizer") is not None
+            and "lr" not in payload
+            and "learning_rate" not in payload
+            and not any(isinstance(v, dict) and ("lr" in v or "learning_rate" in v) for v in payload.values())
+        ):
+            payload["learning_rate"] = float(captured["optimizer"].param_groups[0]["lr"])
+        trace["logs"].append(payload)
+
+    wandb.log = recording_log
     wandb.Audio = _Audio
+
+    # capture the driver's optimizer instance for the lr probe above
+    _orig_opt_init = torch.optim.Optimizer.__init__
+
+    def _capturing_opt_init(self, *a, **k):
+        _orig_opt_init(self, *a, **k)
+        captured["optimizer"] = self
+
+    torch.optim.Optimizer.__init__ = _capturing_opt_init
 
     if "rich" not in sys.modules:
         try:
@@ -205,8 +240,19 @@ def main(family: str, out_dir: str, epochs_override=None):
 
     def recording_forward(self, x, x_sl, *a, **k):
         if captured["init_state"] is None:
+            init_override = os.environ.get("TORCH_LEG_INIT")
+            if init_override:
+                # precision-control mode: identical INIT to the recorded f32
+                # run (f64 init would draw different RNG values — the dtype
+                # changes the sampler), cast to the active default dtype
+                sd = torch.load(init_override, weights_only=True)
+                self.load_state_dict(
+                    {k: v.to(torch.get_default_dtype()) if v.is_floating_point() else v for k, v in sd.items()}
+                )
             captured["model"] = self
             captured["init_state"] = copy.deepcopy(self.state_dict())
+        if f64 and hasattr(x, "dtype") and x.dtype == torch.float32:
+            x = x.double()  # loaders yield f32; the f64 model consumes f64
         out = orig_forward(self, x, x_sl, *a, **k)
         x_sl_list = [int(v) for v in (x_sl.tolist() if hasattr(x_sl, "tolist") else x_sl)]
         trace["steps"].append(
@@ -265,6 +311,9 @@ def main(family: str, out_dir: str, epochs_override=None):
 
     with open(os.path.join(out_dir, "model_params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(params))
+    # raw torch init too: the f64 precision-control rerun loads it verbatim
+    # (TORCH_LEG_INIT) so both precisions start from the identical weights
+    torch.save(captured["init_state"], os.path.join(out_dir, "torch_init.pt"))
 
     cc.write_json(os.path.join(out_dir, "torch_trace.json"), trace)
     n_train = sum(1 for s in trace["steps"] if s["training"])

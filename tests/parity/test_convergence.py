@@ -59,9 +59,24 @@ asserts against the golden:
     values early in training make relative error meaningless); it is covered
     through elbo = rec − β·kl.
 
-Full-horizon artifact: ``CONVERGENCE_r04.json`` (repo root). Regenerate the
-goldens (needs /root/reference + torch) with
-``python scripts/parity/run_convergence.py``.
+Round-5 closed the one loose trajectory, WaveNet (r04: train/bpd max_rel
+1.46e-2 mid-horizon, hypothesized as f32/DMoL noise). The real cause was an
+ASYMMETRIC schedule in the harness config: the reference WaveNet driver
+parses the shared ``--lr_scheduler`` flag but never builds a scheduler
+(``experiment_wavenet_audio.py:187`` — fixed Adam lr), while our driver
+honors it, so our leg halved the lr at the epoch-12 milestone and torch did
+not. With the flags dropped (torch trajectory verified bit-identical —
+the flag really was dead) the full-horizon deltas collapse to per-step
+≤ 7.5e-6 / per-epoch ≤ 2.8e-6 (CONVERGENCE_r05.json), and the torch leg now
+records an lr series from OPTIMIZER STATE (``torch_leg.recording_log``), so
+WaveNet's lr gate is exact like every other family's. A double-precision
+torch control (TORCH_LEG_F64=1, identical init via TORCH_LEG_INIT) bounds
+torch's own f32-vs-f64 sensitivity on this config — the update-noise
+yardstick for the residual.
+
+Full-horizon artifact: ``CONVERGENCE_r05.json`` (repo root; r04 results
+carried forward for unchanged families). Regenerate the goldens (needs
+/root/reference + torch) with ``python scripts/parity/run_convergence.py``.
 """
 
 import json
@@ -120,34 +135,32 @@ def test_convergence_vs_reference_driver(family, tmp_path):
     # see module docstring; cwvae measured 2.1e-4 over the first 100 (step 0
     # at 7.9e-8 — exact-T batches; smooth f32 Adam/GroupNorm accumulation);
     # asr measured 1.9e-5 over the first 100 / 2.3e-5 over the full horizon
+    # wavenet measured 6.4e-7 over the first 100 once the round-4 schedule
+    # asymmetry was removed (module docstring; CONVERGENCE_r05.json)
     step_tol = {
-        "lstm": 1e-5, "vrnn": 1e-3, "srnn": 1e-3, "stcn": 1e-3, "wavenet": 1e-4, "cwvae": 1e-3, "asr": 1e-4,
+        "lstm": 1e-5, "vrnn": 1e-3, "srnn": 1e-3, "stcn": 1e-3, "wavenet": 1e-5, "cwvae": 1e-3, "asr": 1e-4,
     }[family]
     assert worst <= step_tol, f"{family}: per-step loss drift {worst:.2e} in the first 100 steps"
 
-    # lr trajectories must match exactly (epoch-stepped MultiStepLR with the
-    # milestone at epoch 12 inside the replay window). The reference WaveNet
-    # driver never logs the lr, so it has no series to compare — its schedule
-    # semantics are covered by the torch-oracle scheduler unit tests and the
-    # other four families' exact lr gates.
+    # lr trajectories must match exactly. For the families whose reference
+    # driver logs no lr (wavenet), the golden's series comes from the torch
+    # leg's optimizer-state probe (torch_leg.recording_log) — the reference
+    # WaveNet driver builds no scheduler at all, so the series is the constant
+    # Adam lr and the gate catches any scheduler our driver would wrongly run.
     lr_stats = result["summary"].get("learning_rate")
-    if family != "wavenet":
-        assert lr_stats is not None and lr_stats["max_rel"] <= 1e-6, f"{family}: lr trajectory {lr_stats}"
+    assert lr_stats is not None and lr_stats["max_rel"] <= 1e-6, f"{family}: lr trajectory {lr_stats}"
 
     # per-epoch aggregate trajectories within the 0.5% north-star tolerance;
     # annealer scalars (beta/free_nats) must match essentially exactly.
-    # WaveNet's post-milestone epochs get a wider gate: at full horizon its
-    # per-step drift sits at ~3e-6 through step 179 and then a single batch
-    # amplifies it to ~1.5e-2 before reconverging to 2.5e-3 (a branch flip in
-    # the DMoL discretization ladders magnifying f32 noise — the schedule
-    # semantics are covered by the exact lr/beta/free_nats gates above)
-    late_tol = {"wavenet": 3e-2}.get(family, 5e-3)
+    # (WaveNet's round-4 3e-2 post-milestone exemption is GONE: the excursion
+    # was the harness's asymmetric lr schedule, not model noise — with the
+    # dead reference flag mirrored, wavenet measures ≤ 2.8e-6 per epoch over
+    # the full horizon, the tightest of all seven trajectories.)
     for row in result["per_epoch"]:
-        late = row["epoch"] > 12
         for key, cell in row.items():
             if key == "epoch" or not isinstance(cell, dict):
                 continue
             if "/kl" in key or key == "learning_rate":
                 continue  # near-zero KL (incl. cwvae "kl (bpt)"): relative error meaningless; lr gated above
-            tol = 1e-6 if key.endswith(("/beta", "/free_nats")) else (late_tol if late else 5e-3)
+            tol = 1e-6 if key.endswith(("/beta", "/free_nats")) else 5e-3
             assert cell["rel"] <= tol, f"{family}: epoch {row['epoch']} {key} rel {cell['rel']:.2e}"
