@@ -170,16 +170,20 @@ def build_vrnn(bf16):
     from blvm_tpu.models import VRNNAudio
 
     B, T = 8, 16000
-    model = VRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS)
-    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32"
+    # unroll=8: the time scan is per-iteration-latency bound; measured
+    # 9.87 -> 6.93 ms on this config (scripts/perf/roofline_scan.py --levers)
+    model = VRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS, unroll=8)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32+unroll8"
 
 
 def build_srnn(bf16):
     from blvm_tpu.models import SRNNAudio
 
     B, T = 8, 16000
-    model = SRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS)
-    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32"
+    # unroll=8: three serial scans, all per-iteration-latency bound; measured
+    # 8.95 -> 6.81 ms on this config (scripts/perf/roofline_scan.py --levers)
+    model = SRNNAudio(likelihood="DMoL", input_size=64, hidden_size=256, latent_size=64, num_bins=WN_BINS, unroll=8)
+    return model, _simple_loss(model), _audio_batches(B, T), B * T, "f32+unroll8"
 
 
 def build_cwvae(bf16):

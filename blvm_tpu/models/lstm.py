@@ -36,11 +36,14 @@ class LSTMAudio(BaseModel):
     num_mix: int = 10
     num_bins: int = 256
     bf16: bool = False
+    unroll: int = 1  # time-scan unroll factor (TPU scheduling knob, same math)
 
     def setup(self):
         dtype = jnp.bfloat16 if self.bf16 else None
         self.embedding = MLP([self.hidden_size] * 3, activation=nn.relu, activate_final=True, dtype=dtype)
-        self.lstm = LSTM(hidden_size=self.hidden_size, num_layers=self.num_layers, dropout=self.dropout, dtype=dtype)
+        self.lstm = LSTM(
+            hidden_size=self.hidden_size, num_layers=self.num_layers, dropout=self.dropout, dtype=dtype, unroll=self.unroll
+        )
         self.decoder = MLP(
             [self.hidden_size, self.hidden_size, 3 * self.num_mix * self.stack_size],
             activation=nn.relu,

@@ -36,6 +36,7 @@ class SimpleLSTMASR(BaseModel):
     dropout_prob: float = 0.0
     temporal_dropout: bool = True
     blank_index: int = 0
+    unroll: int = 1  # time-scan unroll factor (TPU scheduling knob, same math)
 
     @classmethod
     def from_token_map(cls, token_map: TokenMap, **kwargs):
@@ -60,6 +61,7 @@ class SimpleLSTMASR(BaseModel):
             sum_directions=self.sum_directions,
             dropout_prob=self.dropout_prob,
             temporal_dropout=self.temporal_dropout,
+            unroll=self.unroll,
         )
         self.output = Dense(len(self.vocab))
 

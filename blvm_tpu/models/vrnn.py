@@ -117,6 +117,7 @@ class VRNN(nn.Module):
     condition_h_on_x: bool = True
     condition_x_on_h: bool = True
     dropout: float = 0.0
+    unroll: int = 1  # time-scan unroll factor (TPU scheduling knob, same math)
 
     def setup(self):
         self.cell = VRNNCell(
@@ -151,7 +152,16 @@ class VRNN(nn.Module):
         def body(mdl, carry, x_t):
             return mdl.cell(carry, x_t)
 
-        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=1, out_axes=1)
+        # unroll: on v5e the scan is per-iteration-latency bound; unroll=8
+        # measured 9.87 -> 6.93 ms on the flagship step (roofline_scan.py)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sample": True},
+            in_axes=1,
+            out_axes=1,
+            unroll=self.unroll,
+        )
         _, outs = scan(self, h, encoding)
 
         # h sequence shifted: include initial h, drop last (reference vrnn.py:310-311)
@@ -239,6 +249,7 @@ class VRNNAudio(BaseModel):
     condition_x_on_h: bool = True
     num_mix: int = 10
     num_bins: int = 256
+    unroll: int = 1  # time-scan unroll factor (TPU scheduling knob, same math)
 
     def setup(self):
         likelihood_module = self._make_likelihood()
@@ -259,6 +270,7 @@ class VRNNAudio(BaseModel):
             residual_posterior=self.residual_posterior,
             condition_h_on_x=self.condition_h_on_x,
             condition_x_on_h=self.condition_x_on_h,
+            unroll=self.unroll,
         )
 
     def _make_likelihood(self):

@@ -30,6 +30,7 @@ class LSTMBlock(nn.Module):
     # same parameter structure (the fwd_i/bwd_i LSTM submodules still own the
     # weights — checkpoints are unaffected). False falls back to two scans.
     fuse_directions: bool = True
+    unroll: int = 1  # scan unroll factor (TPU scheduling knob, same math)
 
     @nn.compact
     def __call__(self, x, x_sl, deterministic: bool = True):
@@ -44,7 +45,7 @@ class LSTMBlock(nn.Module):
                 fwd, bwd = self._fused_bidirectional(x, mask, idx)
                 x = fwd + bwd if self.sum_directions else jnp.concatenate([fwd, bwd], axis=-1)
             elif self.bidirectional:
-                fwd, _ = LSTM(hidden_size=self.hidden_size, name=f"fwd_{idx}")(x, mask=mask)
+                fwd, _ = LSTM(hidden_size=self.hidden_size, unroll=self.unroll, name=f"fwd_{idx}")(x, mask=mask)
                 # gather-free padding-preserving reverse: full flip moves valid
                 # frames to [T-sl, T); the masked LSTM holds state over the
                 # (flipped-mask) left padding, and flipping back re-aligns the
@@ -54,14 +55,14 @@ class LSTMBlock(nn.Module):
                 # models/srnn.py smoothing pass).
                 x_flip = jnp.flip(x, axis=1)
                 mask_flip = jnp.flip(mask, axis=1)
-                bwd, _ = LSTM(hidden_size=self.hidden_size, name=f"bwd_{idx}")(x_flip, mask=mask_flip)
+                bwd, _ = LSTM(hidden_size=self.hidden_size, unroll=self.unroll, name=f"bwd_{idx}")(x_flip, mask=mask_flip)
                 bwd = jnp.flip(bwd, axis=1)
                 if self.sum_directions:
                     x = fwd + bwd
                 else:
                     x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
-                fwd, _ = LSTM(hidden_size=self.hidden_size, name=f"fwd_{idx}")(x, mask=mask)
+                fwd, _ = LSTM(hidden_size=self.hidden_size, unroll=self.unroll, name=f"fwd_{idx}")(x, mask=mask)
                 x = fwd
 
             if self.dropout_prob > 0 and not deterministic:
@@ -124,6 +125,6 @@ class LSTMBlock(nn.Module):
             return (h, c), h_new * m
 
         h0 = jnp.zeros((2, B, H), x.dtype)
-        _, out_t = jax.lax.scan(step, (h0, h0), (xw_t, m_t))
+        _, out_t = jax.lax.scan(step, (h0, h0), (xw_t, m_t), unroll=self.unroll)
         out = jnp.transpose(out_t, (1, 2, 0, 3))  # (2, B, T, H)
         return out[0], jnp.flip(out[1], axis=1)

@@ -14,6 +14,12 @@ Design (SURVEY §7 design mapping):
     GRU; GRU's ``r * (W_hn h + b_hn)`` placement) so configurations transfer.
 
 Weights use torch's U(-1/sqrt(H), 1/sqrt(H)) initialization.
+
+``unroll`` passes through to ``lax.scan``: on TPU the serial scan is
+per-iteration-latency bound (~6 us/iter on v5e regardless of body size up to
+~4 dependent matmuls — `scripts/perf/roofline_scan.py --calibrate`), and
+unrolling lets XLA overlap weight loads and fuse across iterations. It is a
+pure scheduling knob: the iteration math and order are unchanged.
 """
 
 from typing import Optional, Tuple
@@ -44,6 +50,7 @@ class LSTM(nn.Module):
     num_layers: int = 1
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    unroll: int = 1  # lax.scan unroll factor — pure scheduling knob, same math
 
     @nn.compact
     def __call__(self, x, mask=None, initial_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None, deterministic: bool = True):
@@ -94,7 +101,7 @@ class LSTM(nn.Module):
                 c = m * c_new + (1 - m) * c
                 return (h, c), h_new * m
 
-            (h_n, c_n), out_t = jax.lax.scan(step, (h_0[layer], c_0[layer]), (xw_t, mask_t))
+            (h_n, c_n), out_t = jax.lax.scan(step, (h_0[layer], c_0[layer]), (xw_t, mask_t), unroll=self.unroll)
             h_ns.append(h_n)
             c_ns.append(c_n)
             layer_in = jnp.transpose(out_t, (1, 0, 2))  # (B, T, H)
@@ -145,6 +152,7 @@ class GRU(nn.Module):
     """
 
     hidden_size: int
+    unroll: int = 1  # lax.scan unroll factor — pure scheduling knob, same math
 
     @nn.compact
     def __call__(self, x, mask=None, initial_state: Optional[jnp.ndarray] = None):
@@ -178,5 +186,5 @@ class GRU(nn.Module):
             h = m * h_new + (1 - m) * h
             return h, h_new * m
 
-        h_n, out_t = jax.lax.scan(step, h_0, (gi_t, mask_t))
+        h_n, out_t = jax.lax.scan(step, h_0, (gi_t, mask_t), unroll=self.unroll)
         return jnp.transpose(out_t, (1, 0, 2)), h_n

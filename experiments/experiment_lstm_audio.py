@@ -29,6 +29,9 @@ def build_args():
     model_group.add_argument("--hidden_size", default=256, type=int)
     model_group.add_argument("--num_layers", default=1, type=int)
     model_group.add_argument("--dropout", default=0, type=float)
+    model_group.add_argument("--scan_unroll", default=1, type=int,
+                             help="time-scan unroll factor (TPU perf knob, same math; neutral at the flagship "
+                                  "config on v5e — see roofline_scan.py)")
     model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
     model_group.add_argument("--num_bits", default=16, type=int)
     model_group.add_argument("--num_mix", default=10, type=int)
@@ -54,6 +57,7 @@ def main():
         num_mix=args.num_mix,
         num_bins=2**args.num_bits,
         bf16=args.bf16,  # note: measured slower than f32 for the scan core on v5e
+        unroll=args.scan_unroll,
     )
 
     def loss_fn(params, rng, batch, scalars):

@@ -33,6 +33,8 @@ def build_args():
     model_group.add_argument("--residual_posterior", default=True, type=str2bool)
     model_group.add_argument("--smoothing", default=True, type=str2bool)
     model_group.add_argument("--dropout", default=0.0, type=float)
+    model_group.add_argument("--scan_unroll", default=1, type=int,
+                             help="time-scan unroll factor (TPU perf knob, same math; 8 measured 1.31x on v5e)")
     model_group.add_argument("--input_coding", default="linear", type=str, choices=["mu_law", "linear"])
     model_group.add_argument("--num_bits", default=8, type=int)
     model_group.add_argument("--random_segment_size", default=None, type=int)
@@ -63,6 +65,7 @@ def main():
         smoothing=args.smoothing,
         num_mix=args.num_mix,
         num_bins=2**args.num_bits,
+        unroll=args.scan_unroll,
     )
 
     annealers = dict(
