@@ -196,6 +196,7 @@ class TestVRNNDriver:
             "--log_norms", "true",
             "--generate_every", "1",
             "--generate_frames", "256",
+            "--scan_unroll", "2",  # TPU perf knob rides through the driver (same math)
         ]
         monkeypatch.setattr(sys, "argv", argv)
         driver = importlib.import_module("experiment_vrnn_audio")
