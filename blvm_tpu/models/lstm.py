@@ -166,7 +166,14 @@ class LSTMAudio(BaseModel):
             x_next = x_next.reshape(B, S)
             return (x_next, s_new), x_next
 
-        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=0, out_axes=0)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sample": True},
+            in_axes=0,
+            out_axes=0,
+            unroll=self.unroll,  # same scheduling knob as training (same math)
+        )
         (_, _), stacks = scan(self, (x, s_0), jax.random.split(key, max_timesteps))
         x_out = jnp.moveaxis(stacks, 0, 1).reshape(B, -1)  # (B, T'*S)
         x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)

@@ -392,7 +392,14 @@ class SRNNAudio(BaseModel):
             x_next = x_next.reshape(B, -1)[:, :S]
             return (x_next, d_new, z_new), x_next
 
-        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=0, out_axes=0)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sample": True},
+            in_axes=0,
+            out_axes=0,
+            unroll=self.unroll,  # same scheduling knob as training (same math)
+        )
         _, frames = scan(self, (x.reshape(B, -1)[:, :S], d_t, z_t), jax.random.split(key, max_timesteps))
         x_out = jnp.moveaxis(frames, 0, 1).reshape(B, -1, 1)
         x_sl = jnp.full((B,), x_out.shape[1], jnp.int32)

@@ -342,7 +342,14 @@ class VRNNAudio(BaseModel):
                 x_next = x_next[..., None]
             return (x_next, h_new), x_next
 
-        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=0, out_axes=0)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sample": True},
+            in_axes=0,
+            out_axes=0,
+            unroll=self.unroll,  # same scheduling knob as training (same math)
+        )
         (_, _), frames = scan(self, (x, h), jax.random.split(key, max_timesteps))
         frames = jnp.moveaxis(frames, 0, 1)  # (B, T', S, 1)
         x_out = frames.reshape(B, -1, 1)

@@ -98,6 +98,19 @@ def test_lstm_asr_unroll_equivalent():
     )
 
 
+def test_generation_unroll_equivalent(audio_batch):
+    """The generation rollout scans take the same knob: identical samples
+    (nn.scan splits the per-step keys the same way at any unroll)."""
+    x, x_sl = audio_batch
+    for cls in (VRNNAudio, SRNNAudio):
+        m1 = cls(likelihood="DMoL", input_size=16, hidden_size=24, latent_size=8, unroll=1)
+        mk = cls(likelihood="DMoL", input_size=16, hidden_size=24, latent_size=8, unroll=UNROLL)
+        variables = m1.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+        out1 = m1.apply(variables, n_samples=2, max_timesteps=9, rngs={"sample": jax.random.PRNGKey(3)}, method=cls.generate)
+        outk = mk.apply(variables, n_samples=2, max_timesteps=9, rngs={"sample": jax.random.PRNGKey(3)}, method=cls.generate)
+        np.testing.assert_allclose(np.asarray(out1[0][0]), np.asarray(outk[0][0]), rtol=1e-5, atol=1e-6)
+
+
 def test_unroll_not_in_param_tree(audio_batch):
     """Checkpoints transfer: unroll never appears in the parameter structure."""
     x, x_sl = audio_batch
