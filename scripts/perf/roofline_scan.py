@@ -335,6 +335,7 @@ LEVERS = [
     ("NEGATIVE", "unroll=8 for the CTC probe", "9.99->10.99 ms (already 66% of floor; einsum body inflates)"),
     ("NEUTRAL ", "unroll for LSTM audio", "5.90 vs 5.90 ms (parallel head phases dominate the step)"),
     ("NEGATIVE", "heavy unroll on a minimal body", "calibration chain 2.13->5.0 us/iter at u=8 (nothing to overlap)"),
+    ("NEGATIVE", "bf16 head phases for LSTM audio (scan core f32)", "5.97->7.31 ms (converts outweigh the halved traffic; consistent with the round-2 full-bf16 finding)"),
 ]
 
 
