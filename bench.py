@@ -190,9 +190,11 @@ def build_cwvae(bf16):
     from blvm_tpu.models import CWVAEAudio
 
     B, T = 8, 16384
-    model = CWVAEAudio(z_size=64, h_size=128, strides=(64, 16, 16), likelihood="DMoL", num_bins=WN_BINS, bf16=bf16)
+    # unroll=8 on the level scans: 16.1 -> 14.1 ms measured on this config
+    # (roofline_scan.py lever family; same math, equivalence-tested)
+    model = CWVAEAudio(z_size=64, h_size=128, strides=(64, 16, 16), likelihood="DMoL", num_bins=WN_BINS, bf16=bf16, unroll=8)
     return model, _simple_loss(model, pad_strideable=True), _audio_batches(B, T), B * T, (
-        "bf16" if bf16 else "f32"
+        ("bf16" if bf16 else "f32") + "+unroll8"
     )
 
 

@@ -57,6 +57,7 @@ class CWVAE(nn.Module):
     residual_posterior: bool = False
     precision_posterior: bool = False
     with_resets: bool = False
+    unroll: int = 1  # level-scan unroll factor (TPU scheduling knob, same math)
 
     def setup(self):
         self.num_levels = len(self.strides)
@@ -144,7 +145,17 @@ class CWVAE(nn.Module):
             outs = dict(z=state[0], h=state[1], **{k: v for k, v in dists.items() if k != "z"})
             return state, outs
 
-        scan = nn.scan(body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=1, out_axes=1)
+        # unroll: the per-level RSSM scans are per-iteration-latency bound like
+        # the VRNN/SRNN cells; unroll=8 measured 16.1 -> 14.1 ms on the
+        # flagship step (roofline_scan.py lever family)
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sample": True},
+            in_axes=1,
+            out_axes=1,
+            unroll=self.unroll,
+        )
         state_n, outs = scan(self, states_l, (encodings_l, context, resets[None, :].repeat(B, 0)))
         return state_n, outs
 
@@ -348,7 +359,12 @@ class CWVAE(nn.Module):
                 return state, dict(z=state[0], h=state[1])
 
             scan = nn.scan(
-                body, variable_broadcast="params", split_rngs={"params": False, "sample": True}, in_axes=1, out_axes=1
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False, "sample": True},
+                in_axes=1,
+                out_axes=1,
+                unroll=self.unroll,  # same scheduling knob as training (same math)
             )
             _, outs = scan(self, states[l], context[:, :T_l])
 
@@ -380,6 +396,7 @@ class CWVAEAudio(BaseModel):
     num_mix: int = 10
     num_bins: int = 256
     bf16: bool = False
+    unroll: int = 1  # level-scan unroll factor (TPU scheduling knob, same math)
 
     def setup(self):
         num_levels = len(self.strides)
@@ -427,6 +444,7 @@ class CWVAEAudio(BaseModel):
             precision_posterior=self.precision_posterior,
             with_resets=self.with_resets,
             g_size=self.g_size,
+            unroll=self.unroll,
         )
 
     def _make_likelihood(self):

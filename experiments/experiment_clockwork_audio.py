@@ -31,6 +31,8 @@ def build_args():
     model_group.add_argument("--residual_posterior", default=False, type=str2bool)
     model_group.add_argument("--precision_posterior", default=False, type=str2bool)
     model_group.add_argument("--with_resets", default=False, type=str2bool)
+    model_group.add_argument("--scan_unroll", default=1, type=int,
+                             help="level-scan unroll factor (TPU perf knob, same math; 8 measured 1.14x on v5e)")
     model_group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
     model_group.add_argument("--num_bits", default=16, type=int)
     model_group.add_argument("--likelihood", default="DMoL", type=str)
@@ -71,6 +73,7 @@ def main():
         num_mix=args.num_mix,
         num_bins=2**args.num_bits,
         bf16=args.bf16,
+        unroll=args.scan_unroll,
     )
 
     annealers = dict(

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from blvm_tpu.models import LSTMAudio, SimpleLSTMASR, SRNNAudio, VRNNAudio
+from blvm_tpu.models import CWVAEAudio, LSTMAudio, SimpleLSTMASR, SRNNAudio, VRNNAudio
 
 UNROLL = 8
 
@@ -80,6 +80,17 @@ def test_lstm_audio_unroll_equivalent(audio_batch):
     _check_family(
         lambda u: LSTMAudio(stack_size=16, hidden_size=24, num_mix=2, num_bins=256, unroll=u),
         audio_batch,
+        {"sample": jax.random.PRNGKey(1)},
+    )
+
+
+def test_cwvae_unroll_equivalent():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 128)), jnp.float32)
+    x_sl = jnp.array([128, 128], jnp.int32)
+    _check_family(
+        lambda u: CWVAEAudio(z_size=8, h_size=16, strides=(4, 2), num_level_layers=2, stride_per_layer=2, unroll=u),
+        (x, x_sl),
         {"sample": jax.random.PRNGKey(1)},
     )
 
