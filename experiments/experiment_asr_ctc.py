@@ -80,6 +80,10 @@ def build_args():
     model_group.add_argument("--hop_length", default=64, type=int)
     model_group.add_argument("--n_mels", default=80, type=int)
     model_group.add_argument("--hidden_size", default=128, type=int)
+    model_group.add_argument("--scan_unroll", default=1, type=int,
+                             help="LSTM time-scan unroll factor (TPU perf knob, same math; measured NEGATIVE "
+                                  "at the bench probe shape — the fused biLSTM is already ~66%% of the serial "
+                                  "floor — but exposed for other shapes; see roofline_scan.py)")
     model_group.add_argument("--num_layers", default=1, type=int)
     model_group.add_argument("--bidirectional", default=False, type=str2bool)
     model_group.add_argument("--sum_directions", default=False, type=str2bool)
@@ -197,6 +201,7 @@ def main():
         sum_directions=args.sum_directions,
         temporal_dropout=args.temporal_dropout,
         dropout_prob=args.dropout_prob,
+        unroll=args.scan_unroll,
     )
 
     params_key, rng_key = jax.random.split(root_key)

@@ -68,6 +68,9 @@ def build_args():
     group.add_argument("--input_coding", default="mu_law", type=str, choices=["mu_law", "linear"])
     group.add_argument("--num_bits", default=16, type=int)
     group.add_argument("--hidden_size", default=128, type=int)
+    group.add_argument("--scan_unroll", default=1, type=int,
+                       help="LSTM time-scan unroll factor (TPU perf knob, same math; measured NEGATIVE at "
+                            "the bench probe shape but exposed for other shapes; see roofline_scan.py)")
     group.add_argument("--num_layers", default=1, type=int)
     group.add_argument("--bidirectional", default=False, type=str2bool)
     group.add_argument("--sum_directions", default=False, type=str2bool)
@@ -155,6 +158,7 @@ def main():
         sum_directions=args.sum_directions,
         temporal_dropout=args.temporal_dropout,
         dropout_prob=args.dropout_prob,
+        unroll=args.scan_unroll,
     )
     params_key, rng_key = jax.random.split(root_key)
     y0_j, y0_sl_j = jnp.asarray(y0), jnp.asarray(y0_sl)
