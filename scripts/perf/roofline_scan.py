@@ -337,6 +337,7 @@ LEVERS = [
     ("NEGATIVE", "heavy unroll on a minimal body", "calibration chain 2.13->5.0 us/iter at u=8 (nothing to overlap)"),
     ("NEGATIVE", "bf16 head phases for LSTM audio (scan core f32)", "5.97->7.31 ms (converts outweigh the halved traffic; consistent with the round-2 full-bf16 finding)"),
     ("NEGATIVE", "block-packed VRNN cell (prior||posterior tracks + GRU gi||gh as block matmuls, 14 -> 9 MXU ops/iter)", "scan-only fwd+bwd 4.31 -> 5.56 ms at unroll=8 (fwd 2.21 -> 2.11): the zero blocks double the backward matmul traffic, outweighing the op-count cut"),
+    ("MIXED   ", "batch widening for LSTM audio (32 -> 64 -> 128)", "85.2M / 111.1M samples/s vs 97.3M at B=32 — non-monotonic (B=64 loses to layout/capacity effects, B=128 recovers to 1.14x); bench line stays at the reference-parity B=32"),
 ]
 
 
