@@ -122,6 +122,31 @@ def test_generation_unroll_equivalent(audio_batch):
         np.testing.assert_allclose(np.asarray(out1[0][0]), np.asarray(outk[0][0]), rtol=1e-5, atol=1e-6)
 
 
+def test_unroll_composes_with_data_parallel(audio_batch):
+    """GSPMD x nn.scan unroll: gradients of the unrolled scan on an 8-device
+    mesh match single-device gradients (the batch axis of the scan carry is
+    sharded; unrolling must not disturb the inserted collectives)."""
+    from blvm_tpu.parallel import make_mesh, shard_batch
+
+    x, x_sl = audio_batch
+    x = jnp.tile(x, (4, 1))  # B=8 so the mesh's data axis divides the batch
+    x_sl = jnp.tile(x_sl, 4)
+    model = VRNNAudio(likelihood="DMoL", input_size=16, hidden_size=24, latent_size=8, unroll=UNROLL)
+    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, x_sl)
+
+    def loss(p, batch):
+        l, _, _ = model.apply(p, batch["x"], batch["x_sl"], rngs={"sample": jax.random.PRNGKey(2)})
+        return l
+
+    grad_fn = jax.jit(jax.grad(loss))
+    make_mesh(1)
+    g1 = grad_fn(variables, {"x": x, "x_sl": x_sl})
+    mesh = make_mesh(8)
+    g8 = grad_fn(variables, shard_batch({"x": x, "x_sl": x_sl}, mesh))
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_unroll_not_in_param_tree(audio_batch):
     """Checkpoints transfer: unroll never appears in the parameter structure."""
     x, x_sl = audio_batch
